@@ -1,13 +1,390 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.fixtures.MicroCorpus
+import graft.kb.KbIngest
+import graft.ops.{Dedup, SimSearch, TextAnalysis}
+import graft.pipeline.{Candidates, Classes, Schema, T2KPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract (see builder prompt): `queries` exposes one entry per
+ * implemented operator family (SURVEY.md §2 + training-data ops);
+ * `oracleSql` carries the DuckDB-equivalent SQL over the same parquet
+ * tables. Entries without SQL-expressible semantics (hash-based LSH,
+ * full pipeline) are rows-only checks.
+ *
+ * Output column naming: lowercase snake_case on BOTH sides (DuckDB
+ * lowercases unquoted aliases); double-valued outputs that aggregate data
+ * doubles are rounded to dodge last-ulp summation-order differences;
+ * int-derived ratios are left exact (bit-identical in both engines).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full T2K matching pipeline on the micro corpus ->
+    * extracted triples. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val kb = KbIngest.fromLodTables(spark, MicroCorpus.lodTables, MicroCorpus.classHierarchy)
+    T2KPipeline.run(MicroCorpus.docs(spark), kb,
+      MicroCorpus.surfaceFormsDf(spark), MicroCorpus.classHierarchy.toMap).triples
+  }
+
+  // ---- shared derivations (identical shapes mirrored in the oracle) -----
+  /** part-name token sets: the web-table key-value / entity-label proxy. */
+  private def partTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey").as("id"),
+      array_distinct(TextAnalysis.tokensCol(col("p_name"))).as("toks"))
+      .withColumn("n", size(col("toks")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/A: scan + hash aggregation with pushdown (TPC-H Q1 shape)
+    "q_agg" -> ((s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_revenue"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"),
+        col("sum_qty"), col("sum_revenue"), col("n_rows"))),
+
+    // joins: broadcast dim join + aggregation
+    "q_join_agg" -> ((s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n_orders"))
+      .select(col("n_name").as("nation"), col("sum_price"), col("n_orders"))),
+
+    // window top-k per group (the pipeline's top-1/top-k primitive)
+    "q_window_topk" -> ((s, dir) => t(s, dir, "orders")
+      .withColumn("rk", row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"), col("rk"))),
+
+    // anti join (set-difference semantics)
+    "q_anti_join" -> ((s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"))),
+
+    // running window aggregates (per-entity ordered state)
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_value", round(sum(col("value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .select(col("user_id"), col("event_id"), col("rn"), col("running_value"))
+    }),
+
+    // sessionization (gap > 30 min) — batch shape of the streaming op
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"), col("session_id"), col("n_events"), col("sum_value"))
+    }),
+
+    // exact deduplication
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"))),
+
+    // tokenisation + document frequency (the candidate-index build S5)
+    "q_token_df" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        TextAnalysis.tokensCol(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)),
+
+    // text quality scoring
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))),
+
+    // stopword-vote language id
+    "q_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("pred_lang"))),
+
+    // token-set Jaccard near-dup pairs (dedup family + B1 join shape)
+    "q_neardup_jaccard" -> ((s, dir) => {
+      val part = t(s, dir, "part").select(col("p_partkey").as("doc_id"),
+        col("p_name").as("text"))
+      Dedup.jaccardPairs(part, "doc_id", "text", 0.5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }),
+
+    // T2K candidate generation (B1/B2/R1/R2) over part-name entities
+    "q_candidates_topk" -> ((s, dir) => {
+      val pt = partTokens(s, dir)
+      val cells = t(s, dir, "part").select(lit("part").as("tableName"),
+        col("p_partkey").cast("int").as("rowNum"), lit(0).as("colIdx"),
+        lit("text").as("kind"), col("p_name").as("text"),
+        lit(null).cast("string").as("mediaRef"))
+      val keyCols = s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("part", 0)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tableName", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("colIdx", org.apache.spark.sql.types.IntegerType))))
+      val nNames = pt.count().max(1L)
+      val index = pt
+        .select(concat(lit("p"), lpad(col("id").cast("string"), 10, "0")).as("uri"),
+          lit(0).as("classId"), concat_ws(" ", col("toks")).as("nameNorm"),
+          col("n").as("nNameTok"), explode(col("toks")).as("token"))
+        .withColumn("idf", lit(1.0))
+      Candidates.generate(cells, keyCols, index, 5, 0.5)
+        .select(col("rowNum").as("row_id"), col("uri"), col("score"))
+    }),
+
+    // class decision distribution (A1-A3) over part brand/mfgr
+    "q_class_distribution" -> ((s, dir) => {
+      val cands = t(s, dir, "part").select(
+        col("p_brand").as("tableName"), col("p_partkey").as("rowNum"),
+        concat(lit("p"), lpad(col("p_partkey").cast("string"), 10, "0")).as("uri"),
+        pmod(col("p_size"), lit(5)).cast("int").as("classId"),
+        lit(1.0).as("score"))
+      val classes = cands.select(col("classId")).distinct()
+        .withColumn("classWeight", lit(0.0))
+      Classes.decide(cands, classes, 0.5, 5)
+        .select(col("tableName").as("table_name"), col("classId").as("class_id"),
+          col("classScore").as("class_score"))
+    }),
+
+    // correspondence combination (A6): weighted union + group-sum + threshold
+    "q_vote_combine" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dup = o.select(col("o_orderstatus").as("tableName"),
+        month(col("o_orderdate")).as("colIdx"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("propId"),
+        (col("o_totalprice") / 1000000).as("score"))
+      val label = o.select(col("o_orderstatus").as("tableName"),
+        month(col("o_orderdate")).as("colIdx"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("propId"),
+        (col("o_totalprice") / 2000000).as("score"))
+      val keyCorrs = o.select(col("o_orderstatus").as("tableName")).distinct()
+        .select(col("tableName"), lit(0).as("colIdx"), lit(0).as("propId"),
+          lit(1.0).as("score"))
+      Schema.combine(dup, label, keyCorrs, 0.8, 0.2, 0.03)
+        .select(col("tableName").as("table_name"), col("colIdx").as("col_idx"),
+          col("propId").as("prop_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // brute-force cosine top-k (similarity search baseline)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", 5)
+        .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rk"))
+    }),
+
+    // MinHash-LSH near-dup (hash-based: rows-only oracle)
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", 0.5)),
+
+    // SimHash near-dup (hash-based: rows-only oracle)
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 10)),
+
+    // rolling-hash fingerprint (hash-based: rows-only oracle)
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fingerprint"))),
+
+    // full T2K pipeline on the deterministic micro corpus (rows-only)
+    "q_t2k_triples" -> ((s, dir) => entry(s).select(
+      col("subjectUri").as("subject_uri"), col("predicateUri").as("predicate_uri"),
+      col("objectValue").as("object_value"), col("isNew").as("is_new"),
+      col("lcwaCorrect").as("lcwa_correct")))
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+  private val tokenSql =
+    "list_distinct(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> ''))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+        | count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name AS nation, round(sum(o_totalprice), 2) AS sum_price,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        | o_totalprice AS totalprice, rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey AS custkey, c_name AS name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | row_number() OVER w AS rn,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, event_id, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_token_df" ->
+      s"""SELECT token, count(*) AS df FROM (
+         | SELECT doc_id, unnest($tokenSql) AS token FROM documents)
+         |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_quality" ->
+      s"""WITH b AS (
+         | SELECT doc_id, text,
+         |  list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks,
+         |  CAST(length(text) AS DOUBLE) AS nchar,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS npunct
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, nchar, npunct,
+         |  CAST(len(toks) AS DOUBLE) AS ntok,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'))) AS DOUBLE) AS nstop
+         | FROM b),
+         |d AS (
+         | SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+         |  CASE WHEN nchar > 0 THEN npunct / nchar ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN ntok > 0 THEN nstop / ntok ELSE 0.0 END AS stopword_ratio,
+         |  ntok FROM c)
+         |SELECT doc_id, n_tokens, round(stopword_ratio, 6) AS stopword_ratio,
+         | round(CASE WHEN ntok = 0 THEN 0.0 ELSE
+         |   least(ntok / 100.0, 1.0) * 0.5 +
+         |   (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25 +
+         |   least(stopword_ratio * 4.0, 1.0) * 0.25 END, 6) AS quality_score
+         |FROM d""".stripMargin,
+
+    "q_langid" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS tok
+        | FROM documents),
+        |v AS (
+        | SELECT d.doc_id,
+        |  coalesce(sum(CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this') THEN 1 ELSE 0 END), 0) AS he,
+        |  coalesce(sum(CASE WHEN tok IN ('der','die','das','und','oder','von','zu','im','ist','es','dass','fur','auf','mit','als','bei','ein','eine') THEN 1 ELSE 0 END), 0) AS hd,
+        |  coalesce(sum(CASE WHEN tok IN ('le','la','les','et','ou','de','des','du','est','il','que','pour','sur','avec','dans','par','un','une') THEN 1 ELSE 0 END), 0) AS hf,
+        |  coalesce(sum(CASE WHEN tok IN ('el','los','las','y','o','de','del','es','que','para','sobre','con','en','por','un','una','se','su') THEN 1 ELSE 0 END), 0) AS hs
+        | FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id GROUP BY 1)
+        |SELECT doc_id, CASE
+        | WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        | WHEN hf >= he AND hf >= hd AND hf >= hs THEN 'fr'
+        | WHEN hs >= he AND hs >= hd THEN 'es'
+        | WHEN he >= hd THEN 'en' ELSE 'de' END AS pred_lang
+        |FROM v""".stripMargin,
+
+    "q_neardup_jaccard" ->
+      """WITH s AS (SELECT p_partkey AS id,
+        |  list_distinct(list_filter(string_split(lower(regexp_replace(p_name, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS toks
+        | FROM part),
+        |t AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
+        |p AS (SELECT a.id AS id1, b.id AS id2, any_value(a.n) AS n1,
+        |  any_value(b.n) AS n2, count(*) AS shared
+        | FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+        |FROM p WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.5""".stripMargin,
+
+    "q_candidates_topk" ->
+      """WITH s AS (SELECT p_partkey AS id,
+        |  list_distinct(list_filter(string_split(lower(regexp_replace(p_name, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS toks
+        | FROM part),
+        |t AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
+        |p AS (SELECT a.id AS rid, b.id AS uid, any_value(a.n) AS na,
+        |  any_value(b.n) AS nb, count(*) AS shared
+        | FROM t a JOIN t b ON a.tok = b.tok GROUP BY 1, 2),
+        |j AS (SELECT rid, 'p' || lpad(CAST(uid AS VARCHAR), 10, '0') AS uri,
+        |  CAST(shared AS DOUBLE) / (na + nb - shared) AS score FROM p
+        | WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5)
+        |SELECT rid AS row_id, uri, score FROM j
+        |QUALIFY row_number() OVER (PARTITION BY rid ORDER BY score DESC, uri) <= 5""".stripMargin,
+
+    "q_class_distribution" ->
+      """WITH c AS (SELECT p_brand AS table_name,
+        |  CAST(p_size % 5 AS INT) AS class_id, count(*) AS cnt
+        | FROM part GROUP BY 1, 2),
+        |m AS (SELECT *, max(cnt) OVER (PARTITION BY table_name) AS max_cnt,
+        |  row_number() OVER (PARTITION BY table_name ORDER BY cnt DESC, class_id) AS rk
+        | FROM c),
+        |k AS (SELECT *, sum(CASE WHEN CAST(cnt AS DOUBLE) / max_cnt >= 0.5 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY table_name) AS n_keep FROM m)
+        |SELECT table_name, class_id, CAST(cnt AS DOUBLE) / max_cnt AS class_score
+        |FROM k WHERE CAST(cnt AS DOUBLE) / max_cnt >= 0.5 OR (n_keep = 0 AND rk <= 5)""".stripMargin,
+
+    "q_vote_combine" ->
+      """WITH dup AS (SELECT o_orderstatus AS table_name, month(o_orderdate) AS col_idx,
+        |  CAST(substr(o_orderpriority, 1, 1) AS INT) AS prop_id,
+        |  o_totalprice / 1000000 * 0.8 AS score FROM orders),
+        |lab AS (SELECT o_orderstatus, month(o_orderdate),
+        |  CAST(substr(o_orderpriority, 1, 1) AS INT),
+        |  o_totalprice / 2000000 * 0.2 FROM orders),
+        |u AS (SELECT * FROM dup UNION ALL SELECT * FROM lab),
+        |g AS (SELECT table_name, col_idx, prop_id, sum(score) AS score
+        | FROM u GROUP BY 1, 2, 3 HAVING sum(score) >= 0.03),
+        |kc AS (SELECT DISTINCT o_orderstatus AS table_name, 0 AS col_idx,
+        |  0 AS prop_id, 1.0 AS score FROM orders)
+        |SELECT table_name, col_idx, prop_id, round(score, 4) AS score FROM (
+        | SELECT g.* FROM g WHERE NOT EXISTS (
+        |   SELECT 1 FROM kc WHERE kc.table_name = g.table_name AND kc.col_idx = g.col_idx)
+        | UNION ALL SELECT * FROM kc)""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt((SELECT sum(x * x) FROM (SELECT unnest(embedding) AS x) z)) AS nrm
+        | FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 8),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  (SELECT sum(a * b) FROM (SELECT unnest(q.embedding) AS a, unnest(c.embedding) AS b) z)
+        |    / (q.nrm * c.nrm) AS cosine
+        | FROM q JOIN n c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin
+  )
 }

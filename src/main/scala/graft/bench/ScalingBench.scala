@@ -1,0 +1,89 @@
+package graft.bench
+
+import graft.fixtures.ScaleGen
+import graft.kb.KbIngest
+import graft.pipeline.T2KPipeline
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/**
+ * Two-cluster-size scaling evidence (BASELINE.json north_rule; sandbox
+ * proxy per driver instruction): run the SAME pipeline on the SAME input
+ * at local[N] and local[4N], report docs/sec at both plus scaling
+ * efficiency = (T_N / T_4N) / 4. Appends a row to BENCH/BASELINE.md.
+ *
+ * Usage: runMain graft.bench.ScalingBench [nLow] [nHigh] [nTables] [rowsPerTable]
+ */
+object ScalingBench {
+
+  private def session(cores: Int): SparkSession = SparkSession.builder()
+    .master(s"local[$cores]")
+    .appName(s"graft-scaling-$cores")
+    .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** One full pipeline run; returns (docs processed, wall seconds). */
+  def runOnce(cores: Int, cfg: ScaleGen.Config, dataDir: String): (Long, Double) = {
+    val spark = session(cores)
+    try {
+      val docs = spark.read.parquet(s"$dataDir/docs.parquet")
+      val kbLong = spark.read.parquet(s"$dataDir/kb_long.parquet")
+      val sf = spark.read.parquet(s"$dataDir/surface_forms.parquet")
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val kb = KbIngest.fromLongForm(spark, kbLong, ScaleGen.hierarchy(cfg))
+      val result = T2KPipeline.run(docs, kb, sf, ScaleGen.hierarchy(cfg).toMap)
+      result.triples.write.mode("overwrite")
+        .parquet(s"$dataDir/out_triples_c$cores.parquet")
+      val secs = (System.nanoTime() - t0) / 1e9
+      (nDocs, secs)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nLow = args.lift(0).map(_.toInt).getOrElse(8)
+    val nHigh = args.lift(1).map(_.toInt).getOrElse(32)
+    val cfg = ScaleGen.Config(
+      nTables = args.lift(2).map(_.toInt).getOrElse(400),
+      rowsPerTable = args.lift(3).map(_.toInt).getOrElse(100),
+      nEntities = args.lift(4).map(_.toInt).getOrElse(50000))
+    val dataDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_scaling")
+
+    // Generate input once (seeded, deterministic).
+    val gen = session(16)
+    try {
+      val (docs, _, _, _) = ScaleGen.webCorpus(gen, cfg)
+      docs.write.mode("overwrite").parquet(s"$dataDir/docs.parquet")
+      ScaleGen.kbLongForm(gen, cfg).write.mode("overwrite")
+        .parquet(s"$dataDir/kb_long.parquet")
+      ScaleGen.surfaceForms(gen, cfg).write.mode("overwrite")
+        .parquet(s"$dataDir/surface_forms.parquet")
+    } finally gen.stop()
+
+    val (nDocsW, _) = runOnce(nHigh, cfg, dataDir)        // warm-up (JIT)
+    val (nDocs, tHigh) = runOnce(nHigh, cfg, dataDir)
+    val (_, tLow) = runOnce(nLow, cfg, dataDir)
+    val thrLow = nDocs / tLow
+    val thrHigh = nDocs / tHigh
+    val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
+    val json = f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio",""" +
+      f""""docs":$nDocs,"coresLow":$nLow,"coresHigh":$nHigh,""" +
+      f""""secsLow":$tLow%.2f,"secsHigh":$tHigh%.2f,""" +
+      f""""docsPerSecLow":$thrLow%.1f,"docsPerSecHigh":$thrHigh%.1f}"""
+    println(json)
+    val line = f"| ${java.time.LocalDate.now} | $nDocs docs | local[$nLow]: $thrLow%.0f docs/s " +
+      f"(${tLow}%.1f s) | local[$nHigh]: $thrHigh%.0f docs/s (${tHigh}%.1f s) | $eff%.3f |\n"
+    val p = Paths.get("BENCH")
+    Files.createDirectories(p)
+    val f = p.resolve("BASELINE.md")
+    if (!Files.exists(f)) Files.writeString(f,
+      "# BENCH baseline — measured scaling (local[N] vs local[4N] proxy)\n\n" +
+        "| date | input | low-parallelism | high-parallelism | efficiency (T_N/T_4N)/4 |\n" +
+        "|---|---|---|---|---|\n")
+    Files.writeString(f, line, java.nio.file.StandardOpenOption.APPEND)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.fixtures
+
+import graft.model.Dtype
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Seeded, fully-distributed scale generator (FIXTURES.md §4): emits a
+ * docs table (interleaved text + media spans), a KB (Zipfian class
+ * sizes — the skew exercise), surface forms, and the construction-truth
+ * gold standard, all derived from `xxhash64(seed, ...)` so any scale is
+ * reproducible without wall-clock or RNG state.
+ *
+ * Every web row references a KB entity; the key cell is the entity label,
+ * p% of rows see a token dropped (surface-form style noise). Gold
+ * standards are the construction truth, so P/R of the pipeline is
+ * measurable at any scale on the same input used for throughput numbers.
+ */
+object ScaleGen {
+
+  case class Config(nClasses: Int = 20, nEntities: Int = 20000,
+                    nTables: Int = 200, rowsPerTable: Int = 50,
+                    vocab: Int = 5000, labelTokens: Int = 3,
+                    noisePct: Int = 10, mediaEvery: Int = 7, seed: Long = 42L)
+
+  /** Zipfian class boundaries: class k gets a share ∝ 1/(k+1). */
+  private def classBoundaries(cfg: Config): Array[Long] = {
+    val weights = (0 until cfg.nClasses).map(k => 1.0 / (k + 1))
+    val total = weights.sum
+    val sizes = weights.map(w => math.max(1L, math.round(w / total * cfg.nEntities)))
+    sizes.scanLeft(0L)(_ + _).toArray
+  }
+
+  private def word(h: org.apache.spark.sql.Column, vocab: Int) =
+    concat(lit("w"), pmod(h, lit(vocab)).cast("string"))
+
+  /** Entities: (entityId, classId, uri, label, propStr, propNum, propDate). */
+  def entities(spark: SparkSession, cfg: Config): DataFrame = {
+    val bounds = classBoundaries(cfg)
+    val classIdExpr = {
+      // bucket lookup over <=nClasses boundaries — chained whens, codegen'd
+      (0 until cfg.nClasses).foldLeft(lit(0)) { (acc, k) =>
+        when(col("id") >= bounds(k) && col("id") < bounds(k + 1), lit(k)).otherwise(acc)
+      }
+    }
+    val lbl = concat_ws(" ", (0 until cfg.labelTokens).map(s =>
+      word(xxhash64(lit(cfg.seed), col("id"), lit(s)), cfg.vocab)): _*)
+    spark.range(bounds.last)
+      .withColumn("classId", classIdExpr)
+      .withColumn("uri", concat(lit("kb://e"), col("id")))
+      .withColumn("label", lbl)
+      .withColumn("propStr", concat_ws(" ",
+        word(xxhash64(lit(cfg.seed), col("id"), lit(100)), cfg.vocab),
+        word(xxhash64(lit(cfg.seed), col("id"), lit(101)), cfg.vocab)))
+      .withColumn("propNum",
+        (pmod(xxhash64(lit(cfg.seed), col("id"), lit(200)), lit(100000L)) + 1).cast("string"))
+      .withColumn("propDate", date_format(date_add(lit("1950-01-01"),
+        pmod(xxhash64(lit(cfg.seed), col("id"), lit(300)), lit(25000L)).cast("int")),
+        "yyyy-MM-dd"))
+      .withColumnRenamed("id", "entityId")
+  }
+
+  /** KB long-form (for KbIngest.fromLongForm) + hierarchy. */
+  def kbLongForm(spark: SparkSession, cfg: Config): DataFrame = {
+    val e = entities(spark, cfg)
+    val props = Seq(
+      (Dtype.RdfsLabelUri, "label", "label"),
+      ("kb://prop/str", "strprop", "propStr"),
+      ("kb://prop/num", "numprop", "propNum"),
+      ("kb://prop/date", "dateprop", "propDate"))
+    props.map { case (uri, header, valCol) =>
+      e.select(concat(lit("class"), col("classId")).as("className"),
+        lit(uri).as("propUri"), lit(header).as("propHeader"),
+        col("uri"), col(valCol).as("rawValue"))
+    }.reduce(_ unionByName _)
+  }
+
+  def hierarchy(cfg: Config): Seq[(String, String)] =
+    (0 until cfg.nClasses).map(k => s"class$k" -> "root")
+
+  /** Surface forms: for 20% of entities, label minus its last token. */
+  def surfaceForms(spark: SparkSession, cfg: Config): DataFrame = {
+    entities(spark, cfg)
+      .filter(pmod(xxhash64(lit(cfg.seed), col("entityId"), lit(400)), lit(5)) === 0)
+      .select(lower(col("label")).as("label"),
+        concat_ws(" ", slice(split(col("label"), " "), 1, cfg.labelTokens - 1))
+          .as("surfaceForm"))
+  }
+
+  /** Web-table docs + gold standards. Tables are Zipf-assigned to classes
+    * (skewed big classes get most tables — the hot-key exercise). */
+  def webCorpus(spark: SparkSession, cfg: Config): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bounds = classBoundaries(cfg)
+    val e = entities(spark, cfg)
+    // table t -> class via Zipf over tables too (hash-mixed)
+    val tables = spark.range(cfg.nTables)
+      .withColumn("tableClass",
+        pmod(pmod(xxhash64(lit(cfg.seed), col("id"), lit(500)), lit(1000)) *
+          pmod(xxhash64(lit(cfg.seed), col("id"), lit(501)), lit(1000)),
+          lit(cfg.nClasses)).cast("int"))
+      .withColumnRenamed("id", "tableId")
+    // rows: pick entity within the table's class deterministically
+    val rows = tables.join(spark.range(cfg.rowsPerTable).withColumnRenamed("id", "rowNum"))
+    val boundsLo = udf((c: Int) => bounds(c))
+    val boundsHi = udf((c: Int) => bounds(c + 1))
+    val withEntity = rows
+      .withColumn("lo", boundsLo(col("tableClass")))
+      .withColumn("span", boundsHi(col("tableClass")) - col("lo"))
+      .withColumn("entityId", col("lo") +
+        pmod(xxhash64(lit(cfg.seed), col("tableId"), col("rowNum")), col("span")))
+      .join(e, "entityId")
+      .withColumn("tableName", concat(lit("tbl"), col("tableId"), lit(".csv")))
+      .withColumn("noisy",
+        pmod(xxhash64(lit(cfg.seed), col("tableId"), col("rowNum"), lit(600)),
+          lit(100)) < cfg.noisePct)
+      .withColumn("keyText", when(col("noisy"),
+        concat_ws(" ", slice(split(col("label"), " "), 1, cfg.labelTokens - 1)))
+        .otherwise(col("label")))
+
+    val span = (kind: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+                media: org.apache.spark.sql.Column, off: Int) =>
+      struct(kind.as("kind"), text.as("text"), media.as("media_ref"),
+        lit(off).as("offset"))
+    val nullS = lit(null).cast(StringType)
+    val hasMedia = pmod(col("rowNum"), lit(cfg.mediaEvery)) === 0
+    val rowDocs = withEntity.select(
+      concat(col("tableName"), lit("#r"), col("rowNum")).as("doc_id"),
+      when(hasMedia,
+        array(span(lit("text"), col("keyText"), nullS, 0),
+          span(lit("text"), col("propStr"), nullS, 1),
+          span(lit("text"), col("propNum"), nullS, 2),
+          span(lit("text"), col("propDate"), nullS, 3),
+          span(lit("media"), nullS, concat(lit("media://"), col("tableName"),
+            lit("/"), col("rowNum")), 4)))
+        .otherwise(array(span(lit("text"), col("keyText"), nullS, 0),
+          span(lit("text"), col("propStr"), nullS, 1),
+          span(lit("text"), col("propNum"), nullS, 2),
+          span(lit("text"), col("propDate"), nullS, 3))).as("spans"))
+    val headerDocs = tables.select(
+      concat(lit("tbl"), col("tableId"), lit(".csv#h")).as("doc_id"),
+      array(span(lit("header"), lit("name"), nullS, 0),
+        span(lit("header"), lit("strprop"), nullS, 1),
+        span(lit("header"), lit("numprop"), nullS, 2),
+        span(lit("header"), lit("dateprop"), nullS, 3)).as("spans"))
+    val docs = rowDocs.unionByName(headerDocs)
+
+    val gsInstance = withEntity.select(col("tableName"),
+      col("rowNum").cast("int").as("rowNum"), col("uri"))
+    val gsClass = tables.select(concat(lit("tbl"), col("tableId"), lit(".csv")).as("tableName"),
+      concat(lit("class"), col("tableClass")).as("className"))
+    val gsProperty = tables.selectExpr("concat('tbl', tableId, '.csv') AS tableName")
+      .crossJoin(spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(0, Dtype.RdfsLabelUri),
+        org.apache.spark.sql.Row(1, "kb://prop/str"),
+        org.apache.spark.sql.Row(2, "kb://prop/num"),
+        org.apache.spark.sql.Row(3, "kb://prop/date")),
+        StructType(Seq(StructField("colIdx", IntegerType),
+          StructField("propUri", StringType)))))
+    (docs, gsInstance, gsProperty, gsClass)
+  }
+}

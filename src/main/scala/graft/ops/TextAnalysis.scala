@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token counting, quality scoring, stopword-based language ID, and
+ * rolling-hash document fingerprinting. All pure Column expressions
+ * (whole-stage codegen; no UDFs) so a 100 TB scan stays CPU-bound in
+ * Tungsten, not in closure dispatch.
+ */
+object TextAnalysis {
+
+  /** Whitespace + BPE-ish tokenisation column (lowercase alnum runs). */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
+      t => t =!= "")
+
+  /** Per-document token count / char stats / punctuation + stopword ratios
+    * and a composite quality score in [0,1]. */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = tokensCol(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val nPunct = (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double")
+    val stop = Stopwords.en
+    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len",
+        when(nTok > 0, (nChar - (nTok - 1)) / nTok).otherwise(0.0))
+      .withColumn("punct_ratio", when(nChar > 0, nPunct / nChar).otherwise(0.0))
+      .withColumn("stopword_ratio", when(nTok > 0, nStop / nTok).otherwise(0.0))
+      .withColumn("quality_score",
+        when(nTok === 0, 0.0).otherwise(
+          least(nTok / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.25 +
+            least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.25))
+  }
+
+  /** Stopword-vote language ID: per language, count stopword hits in the
+    * token set; argmax wins (ties -> language code asc); no hits -> 'und'. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val votes = Stopwords.byLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (hits desc, lang asc): sort_array ascending on (hits, negLang)
+    // -> take greatest struct; struct ordering is lexicographic on fields.
+    val best = greatest(votes: _*)
+    docs.withColumn("pred_lang",
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+  }
+
+  /** Rolling-hash fingerprint over the token sequence (chained xxhash64:
+    * order-sensitive, overflow-free) — content-defined document identity
+    * robust to whitespace/punctuation noise. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val fp = aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+    docs.withColumn("fingerprint", fp)
+  }
+}
+
+object Stopwords {
+  val en: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "by", "this")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "oder", "von", "zu",
+    "im", "ist", "es", "dass", "fur", "auf", "mit", "als", "bei", "ein", "eine")
+  val fr: Seq[String] = Seq("le", "la", "les", "et", "ou", "de", "des", "du",
+    "est", "il", "que", "pour", "sur", "avec", "dans", "par", "un", "une")
+  val es: Seq[String] = Seq("el", "los", "las", "y", "o", "de", "del",
+    "es", "que", "para", "sobre", "con", "en", "por", "un", "una", "se", "su")
+  val byLang: Map[String, Seq[String]] =
+    Map("en" -> en, "de" -> de, "fr" -> fr, "es" -> es)
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.text.Normalize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Candidate generation / selection / refinement (SURVEY.md §2.2 B1-B2,
+ * §2.3 R1-R3). Reference shape: per web row, look up the key-cell value in
+ * the Lucene entity index, score candidates by WebJaccard against
+ * {label} ∪ surfaceForms, keep top-N above a threshold
+ * (/root/reference .../t2k/match/blocking/CandidateGenerationMultiKeyBlocker
+ * .java:97-223, CandidateSelection.java:52-56 [N=50, th=0.2],
+ * CandidateRefinement.java:56-60 [N=100, th=0.7, class-filtered]).
+ *
+ * Spark shape: the Lucene lookup is an equi-join on tokens against the
+ * candidate-token table. Because both key values and index names carry
+ * DISTINCT token sets with their sizes, the exact token-set Jaccard is
+ * computed inside the aggregation (shared / (nKey + nName - shared)) — no
+ * UDF, the whole path is joins + hash aggregation inside whole-stage
+ * codegen. R2's "max over surface forms" is the final max() per (row, uri).
+ *
+ * Scale notes: the token join is the engine's biggest shuffle; the index
+ * side drops stop tokens (CandidateIndex.dfCap), and candidates per row are
+ * bounded by a window top-N so downstream fan-out is capped. The optional
+ * class filter (refinement) is applied BEFORE the aggregation so pruned
+ * classes never reach the shuffle.
+ */
+object Candidates {
+
+  /** cells + keyCols -> one record per (row, distinct key token). */
+  def keyTokens(cells: DataFrame, keyCols: DataFrame): DataFrame = {
+    cells.join(keyCols, Seq("tableName", "colIdx"))
+      .filter(col("kind") === "text")
+      .select(col("tableName"), col("rowNum"),
+        Normalize.normaliseCol(col("text")).as("keyNorm"))
+      .filter(col("keyNorm").isNotNull)
+      .withColumn("keyTokens", array_distinct(split(col("keyNorm"), " ")))
+      .withColumn("nKeyTok", size(col("keyTokens")))
+      .select(col("tableName"), col("rowNum"), col("keyNorm"), col("nKeyTok"),
+        explode(col("keyTokens")).as("token"))
+  }
+
+  /**
+   * Generate scored candidates:
+   * (tableName, rowNum, uri, classId, score) with score = max over entity
+   * names of tokenJaccard(keyValue, name); top `numCandidates` per row with
+   * score >= simThreshold. `classesPerTable` (tableName, classId) filters
+   * the index side when present (refinement pass).
+   */
+  def generate(cells: DataFrame, keyCols: DataFrame, candidateTokens: DataFrame,
+               numCandidates: Int, simThreshold: Double,
+               classesPerTable: Option[DataFrame] = None): DataFrame = {
+    val kt = keyTokens(cells, keyCols)
+    val hits0 = kt.join(candidateTokens, "token")
+    val hits = classesPerTable match {
+      case Some(cpt) => hits0.join(broadcast(cpt.select("tableName", "classId")),
+        Seq("tableName", "classId"), "left_semi")
+      case None => hits0
+    }
+    // Exact Jaccard per (row, candidate name) from shared-token counts.
+    val perName = hits
+      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+        col("nameNorm"), col("nNameTok"), col("nKeyTok"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+    // R2: max over {label} ∪ surface forms.
+    val perUri = perName
+      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))
+      .agg(max(col("jaccard")).as("score"))
+      .filter(col("score") >= simThreshold)
+    val w = Window.partitionBy(col("tableName"), col("rowNum"))
+      .orderBy(col("score").desc, col("uri").asc)
+    perUri.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= numCandidates).drop("rk")
+  }
+}

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import graft.kb.KbIngest
+import graft.model.Dtype
+import graft.text.{Normalize, Similarity}
+import graft.util.Udfs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Schema matching (SURVEY.md §2.2 B4, §2.3 R7-R8, §2.4 A5-A7).
+ *
+ * Reference components re-expressed:
+ *  - ClassAndTypeBasedSchemaBlocker.java:64-282 — candidate column pairs
+ *    (class member, equal types, kurtosis >= 2 gate for numerics);
+ *  - SchemaVotingRule.java:71-92 + T2KVoting.java:42-55 +
+ *    DuplicateBasedSchemaMatching.java:70-133 — duplicate-based voting
+ *    (top-2 duplicates/row above 0.5; vote if value sim >= 0.4; vote value
+ *    = sim × duplicate score; aggregate = sum/count);
+ *  - SchemaLabelComparator.java:32-40 / LabelBasedSchemaMatching.java:70-74
+ *    — header-label matching via GeneralisedStringJaccard(0.5, 0.5);
+ *  - CombineSchemaCorrespondences.java:80-121 — 0.8·dup + 0.2·label,
+ *    group-sum, threshold 0.03, append key corrs;
+ *  - UpdateSchemaCorrespondences.java:53-75 — 0.5·prev + 0.5·cur.
+ *
+ * Scale notes: the voting join's fan-out is (top-2 dups/row) × (blocked
+ * column pairs) — flat rows, aggregated immediately (never the reference's
+ * nested per-pair collections). Dimension sides (blocked pairs, schema
+ * corrs) are broadcast; the row-scale side shuffles once on (uri) for the
+ * KB-value join.
+ */
+object Schema {
+
+  /**
+   * B4: blocked column pairs
+   * (tableName, colIdx, propId, classId, dtype, yearRange).
+   * `kbPropsByClass` = distinct (classId, propId, dtype) from kb_cells.
+   */
+  def blockPairs(webCols: DataFrame, classesPerTable: DataFrame,
+                 kbPropsByClass: DataFrame, kurtosisMin: Double = 2.0): DataFrame = {
+    webCols.filter(col("dtype") =!= "media")
+      .join(classesPerTable.select("tableName", "classId"), "tableName")
+      .join(kbPropsByClass.withColumnRenamed("dtype", "kbDtype"), Seq("classId"))
+      .filter(col("dtype") === col("kbDtype"))
+      .filter(col("dtype") =!= Dtype.Numeric ||
+        (col("kurtosis").isNotNull && col("kurtosis") >= kurtosisMin))
+      .withColumn("yearRange",
+        coalesce((col("maxYear") - col("minYear")).cast("double"), lit(1.0)))
+      .select("tableName", "colIdx", "propId", "classId", "dtype", "yearRange")
+      .distinct()
+  }
+
+  /** Typed value similarity dispatch (R4-R6 semantics): string -> GSJ,
+    * numeric -> deviation sim, date -> weighted date sim (1,3,5). */
+  private def valueSim(dtypeCol: String): org.apache.spark.sql.Column = {
+    val webText = col("text")
+    val kbVal = col("kbValue")
+    val strSim = Udfs.gsjRaw(Normalize.normaliseCol(webText), Normalize.normaliseCol(kbVal))
+    val numSim = Similarity.deviationSimCol(
+      graft.util.SafeCast.toDouble(webText), graft.util.SafeCast.toDouble(kbVal))
+    val dateSim = Similarity.weightedDateSimCol(
+      graft.util.SafeCast.toDateSafe(webText), graft.util.SafeCast.toDateSafe(kbVal),
+      col("yearRange"))
+    when(col(dtypeCol) === Dtype.Numeric, coalesce(numSim, lit(0.0)))
+      .when(col(dtypeCol) === Dtype.Date, coalesce(dateSim, lit(0.0)))
+      .otherwise(coalesce(strSim, lit(0.0)))
+  }
+
+  /**
+   * Duplicate-based schema matching. `candidates` are instance corrs;
+   * top-`dupK` per row above `dupThreshold` act as duplicates; each
+   * (duplicate × blocked pair) with value sim >= `voteThreshold` votes
+   * sim × dupScore; score = sum(votes)/count(votes), kept above
+   * `resultThreshold`. rdfs:label is never a vote target
+   * (SchemaVotingRule.java:71-92).
+   */
+  def duplicateBased(candidates: DataFrame, cells: DataFrame, kbCells: DataFrame,
+                     pairs: DataFrame,
+                     dupK: Int = 2, dupThreshold: Double = 0.5,
+                     voteThreshold: Double = 0.4,
+                     resultThreshold: Double = 0.02): DataFrame = {
+    val dups = candidates.filter(col("score") >= dupThreshold)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("tableName"), col("rowNum"))
+          .orderBy(col("score").desc, col("uri").asc)))
+      .filter(col("rk") <= dupK)
+      .select(col("tableName"), col("rowNum"), col("uri"), col("score").as("dupScore"))
+    val webVals = cells.filter(col("kind") === "text")
+      .select("tableName", "rowNum", "colIdx", "text")
+    val kbVals = kbCells.select(col("uri"), col("propId"), col("value").as("kbValue"))
+    val joined = dups
+      .join(webVals, Seq("tableName", "rowNum"))
+      .join(broadcast(pairs.filter(col("propId") =!= KbIngest.RdfsLabelPropId)),
+        Seq("tableName", "colIdx"))
+      .join(kbVals, Seq("uri", "propId"))
+      .withColumn("sim", valueSim("dtype"))
+    // Multi-valued KB cells: one vote per (duplicate, column pair) = max sim.
+    val votes = joined
+      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("colIdx"),
+        col("propId"), col("dupScore"))
+      .agg(max(col("sim")).as("sim"))
+      .filter(col("sim") >= voteThreshold)
+    votes.groupBy(col("tableName"), col("colIdx"), col("propId"))
+      .agg((sum(col("sim") * col("dupScore")) / count(lit(1))).as("score"))
+      .filter(col("score") >= resultThreshold)
+  }
+
+  /** R7/R10: label-based matching over headers of blocked pairs. */
+  def labelBased(pairs: DataFrame, webCols: DataFrame, kbProps: DataFrame): DataFrame = {
+    pairs.join(webCols.select("tableName", "colIdx", "header"), Seq("tableName", "colIdx"))
+      .join(broadcast(kbProps.select(col("propId"), col("header").as("propHeader"))), "propId")
+      .withColumn("score", Udfs.gsj(Normalize.normaliseCol(col("header")),
+        Normalize.normaliseCol(col("propHeader"))))
+      .filter(col("score") > 0.0)
+      .groupBy(col("tableName"), col("colIdx"), col("propId"))
+      .agg(max(col("score")).as("score"))
+  }
+
+  /** A6: combine 0.8·dup + 0.2·label, group-sum, threshold, append key corrs. */
+  def combine(dup: DataFrame, label: DataFrame, keyCorrs: DataFrame,
+              wDup: Double = 0.8, wLabel: Double = 0.2,
+              threshold: Double = 0.03): DataFrame = {
+    val merged = dup.withColumn("score", col("score") * wDup)
+      .unionByName(label.withColumn("score", col("score") * wLabel))
+      .groupBy(col("tableName"), col("colIdx"), col("propId"))
+      .agg(sum(col("score")).as("score"))
+      .filter(col("score") >= threshold)
+    // key corrs win over any conflicting derived corr for the same column
+    merged.join(keyCorrs.select("tableName", "colIdx"),
+        Seq("tableName", "colIdx"), "left_anti")
+      .unionByName(keyCorrs)
+  }
+
+  /** A7: iteration smoothing — 0.5·previous + 0.5·current. */
+  def update(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.withColumn("score", col("score") * 0.5)
+      .unionByName(cur.withColumn("score", col("score") * 0.5))
+      .groupBy(col("tableName"), col("colIdx"), col("propId"))
+      .agg(sum(col("score")).as("score"))
+}

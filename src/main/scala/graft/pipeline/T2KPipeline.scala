@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import graft.checkpoint.{Checkpointer, LocalCheckpointer}
+import graft.kb.{CandidateIndex, KbIngest}
+import graft.model.SpanCodec
+import graft.triples.Triples
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The full matching pipeline (reference T2KMatch.match(),
+ * /root/reference .../t2k/match/T2KMatch.java:250-684; lifecycle documented
+ * in SURVEY.md §3.1). Every stage is a lazily-planned DataFrame transform;
+ * stage boundaries optionally checkpoint (resumable, with lineage).
+ *
+ * All reference thresholds land verbatim in [[T2KConfig]] (SURVEY.md §7.4).
+ */
+case class T2KConfig(
+  selectionCandidates: Int = 50, selectionThreshold: Double = 0.2,   // CandidateSelection.java:52-56
+  refinementCandidates: Int = 100, refinementThreshold: Double = 0.7, // CandidateRefinement.java:56-60
+  classConsensus: Double = 0.5, classFallbackTopK: Int = 5,           // ClassDecision.java:104-127
+  dupK: Int = 2, dupThreshold: Double = 0.5,                          // DuplicateBasedSchemaMatching.java:91-93
+  voteThreshold: Double = 0.4,                                        // SchemaVotingRule threshold
+  dupResultThreshold: Double = 0.02,                                  // T2KMatch.java:321-323
+  combineWeightDup: Double = 0.8, combineWeightLabel: Double = 0.2,
+  combineThreshold: Double = 0.03,                                    // CombineSchemaCorrespondences.java:80-121
+  irThreshold: Double = 0.1, keyWeight: Double = 5.0,                 // DataTypeDependentRecordMatchingRule
+  kurtosisMin: Double = 2.0,                                          // ClassAndTypeBasedSchemaBlocker.java:249-260
+  numIterations: Int = 1,                                             // T2KMatch.java:153-154
+  tokenDfCap: Long = 100000, mappedRatio: Double = 0.0)
+
+case class T2KResult(instanceCorrs: DataFrame, schemaCorrs: DataFrame,
+                     classCorrs: DataFrame, triples: DataFrame)
+
+object T2KPipeline {
+
+  /** Top-1 per group window, deterministic tie-break on `tieCol`. */
+  private def top1(df: DataFrame, part: Seq[String], tieCol: String): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(part.map(col): _*)
+          .orderBy(col("score").desc, col(tieCol).asc)))
+      .filter(col("rk") === 1).drop("rk")
+
+  def run(docs: DataFrame, kb: KbIngest.Ingested, surfaceForms: DataFrame,
+          hierarchy: Map[String, String],
+          cfg: T2KConfig = T2KConfig(),
+          ckpt: Checkpointer = LocalCheckpointer): T2KResult = {
+
+    // --- decode + dims (S1) ---------------------------------------------
+    val cells = ckpt("cells", SpanCodec.cells(docs))
+    val webCols = ckpt("web_cols", SpanCodec.columns(docs))
+    val keyCols = Keys.detect(webCols)
+    val keyCorrs = Keys.keyCorrs(keyCols)
+    // kb.cells feeds ~8 downstream joins: checkpoint once so each reuse
+    // references the materialised table, not the full ingest lineage.
+    val kbCells = ckpt("kb_cells", kb.cells)
+    val kbPropsByClass = kbCells.select("classId", "propId", "dtype").distinct()
+    val propClasses = kbCells.select("classId", "propId").distinct()
+
+    // --- candidate index (S5) -------------------------------------------
+    val index = ckpt("candidate_tokens",
+      CandidateIndex.build(kbCells, surfaceForms, cfg.tokenDfCap))
+
+    // --- candidate selection (B1 + R1/R2) -------------------------------
+    val selection = ckpt("candidates_selection", Candidates.generate(
+      cells, keyCols, index, cfg.selectionCandidates, cfg.selectionThreshold))
+
+    // --- class decision (A1-A3) -----------------------------------------
+    val classes0 = ckpt("classes_decided", Classes.decide(selection, kb.classes,
+      cfg.classConsensus, cfg.classFallbackTopK))
+
+    // --- candidate refinement (class-filtered, th 0.7) ------------------
+    val refined = ckpt("candidates_refined", Candidates.generate(
+      cells, keyCols, index, cfg.refinementCandidates, cfg.refinementThreshold,
+      Some(classes0)))
+
+    // --- first duplicate-based schema matching + class refinement -------
+    val pairs0 = Schema.blockPairs(webCols, classes0, kbPropsByClass, cfg.kurtosisMin)
+    val dup0 = ckpt("dup_corrs_seed", Schema.duplicateBased(refined, cells, kbCells,
+      pairs0, cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupResultThreshold))
+    val schemaSeed = dup0.unionByName(keyCorrs.join(
+      dup0.select("tableName", "colIdx"), Seq("tableName", "colIdx"), "left_anti"))
+    val classesRefined = Classes.refine(schemaSeed, propClasses)
+    // fall back to the top decision class for tables where refinement
+    // found nothing; the emitted class decision is argmax-only, while the
+    // candidate-filter set additionally admits superclasses (A4).
+    val classes0Top1 = top1(classes0.withColumnRenamed("classScore", "score"),
+      Seq("tableName"), "classId").withColumnRenamed("score", "classScore")
+    val classesBest = ckpt("classes_best", classesRefined.unionByName(
+      classes0Top1.join(classesRefined.select("tableName").distinct(),
+        Seq("tableName"), "left_anti")))
+    val classes = ckpt("classes_filter_set",
+      Classes.withAncestors(classesBest, kb.classes, hierarchy))
+    val candidates = ckpt("candidates_filtered",
+      Classes.filterCandidates(refined, classes))
+
+    // --- iteration loop (T2KMatch.java:356-405) -------------------------
+    val pairs = ckpt("blocked_pairs",
+      Schema.blockPairs(webCols, classes, kbPropsByClass, cfg.kurtosisMin))
+    var schemaCorrs: DataFrame = null
+    var instanceCands: DataFrame = candidates
+    for (it <- 0 until math.max(cfg.numIterations, 1)) {
+      val label = Schema.labelBased(pairs, webCols, kb.props)
+      val dup = Schema.duplicateBased(instanceCands, cells, kbCells, pairs,
+        cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupResultThreshold)
+      val combined = Schema.combine(dup, label, keyCorrs,
+        cfg.combineWeightDup, cfg.combineWeightLabel, cfg.combineThreshold)
+      schemaCorrs = if (it == 0) combined else Schema.update(schemaCorrs, combined)
+      schemaCorrs = ckpt(s"schema_corrs_it$it", schemaCorrs)
+      instanceCands = ckpt(s"instance_cands_it$it", Identity.resolve(
+        instanceCands, schemaCorrs, keyCols, cells, kbCells, webCols,
+        cfg.keyWeight, cfg.irThreshold))
+    }
+
+    // --- 1:1 top-1 (T2KMatch.java:411-413) ------------------------------
+    val instanceTop1 = ckpt("instance_corrs",
+      top1(instanceCands, Seq("tableName", "rowNum"), "uri"))
+    val schemaTop1 = ckpt("schema_corrs",
+      top1(schemaCorrs, Seq("tableName", "colIdx"), "propId"))
+
+    // --- optional mapped-ratio table filter (A8) ------------------------
+    val (instF, schemaF) =
+      if (cfg.mappedRatio <= 0.0) (instanceTop1, schemaTop1)
+      else {
+        val rowsPerTable = cells.select("tableName", "rowNum").distinct()
+          .groupBy("tableName").agg(count(lit(1)).as("nRows"))
+        val keep = instanceTop1.groupBy("tableName").agg(count(lit(1)).as("nMapped"))
+          .join(rowsPerTable, "tableName")
+          .filter(col("nMapped") / col("nRows") >= cfg.mappedRatio)
+          .select("tableName")
+        (instanceTop1.join(keep, Seq("tableName"), "left_semi"),
+          schemaTop1.join(keep, Seq("tableName"), "left_semi"))
+      }
+
+    // --- class corrs + triples ------------------------------------------
+    val classCorrs = classesBest
+      .join(broadcast(kb.classes.select("classId", "className")), "classId")
+      .select(col("tableName"), col("classId"), col("className"),
+        col("classScore").as("score"))
+    val triples = ckpt("triples", Triples.generate(
+      instF, schemaF, cells, kbCells, kb.props, webCols))
+
+    T2KResult(instF, schemaF, classCorrs, triples)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured-Streaming surface of the engine. The reference pipeline is
+ * pure batch (SURVEY.md §2.12); these operators are the incremental
+ * counterparts a continuously-fed training-data pipeline needs:
+ *
+ *  - annotateDocs: streaming per-document enrichment (quality, language,
+ *    fingerprint) — stateless, scales linearly with input rate;
+ *  - windowedEventCounts: watermarked sliding-window aggregation over an
+ *    event stream (late data bounded by the watermark);
+ *  - sessionize: custom state via mapGroupsWithState — gap-based session
+ *    assembly per user, the canonical stateful-op shape.
+ */
+object Streams {
+
+  /** Stateless streaming enrichment of a documents stream. */
+  def annotateDocs(docs: DataFrame): DataFrame =
+    TextAnalysis.fingerprint(
+      TextAnalysis.langId(
+        TextAnalysis.quality(docs)))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("pred_lang"), col("fingerprint"))
+
+  /** Watermarked sliding-window counts per event type. */
+  def windowedEventCounts(events: DataFrame,
+                          watermark: String = "10 minutes",
+                          windowLen: String = "5 minutes",
+                          slide: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with explicit state + processing-time
+    * timeout; emits a session when the gap exceeds `gapMs`. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val out = collection.mutable.ArrayBuffer[SessionOut]()
+          var cur = state.getOption
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(uid, s.startMs, s.lastMs, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+      .toDF()
+  }
+}

@@ -1,0 +1,21 @@
+package graft.util
+
+import graft.text.Similarity
+import org.apache.spark.sql.functions.udf
+
+/**
+ * The small UDF surface (SURVEY.md §2.13). Only similarity kernels whose
+ * greedy token matching can't be expressed as array builtins are UDFs;
+ * everything else (normalise, tokenise, jaccard, levenshtein, numeric and
+ * date sims) stays in codegen'd Column expressions.
+ */
+object Udfs {
+  /** GeneralisedStringJaccard(Levenshtein, 0.5, 0.5) — reference config at
+    * SchemaLabelComparator.java:32-40 / IdentityResolution.java:73. */
+  val gsj = udf((a: String, b: String) =>
+    Similarity.generalisedStringJaccard(a, b, 0.5, 0.5))
+
+  /** Unthresholded variant (jaccardThreshold = 0) for vote scoring. */
+  val gsjRaw = udf((a: String, b: String) =>
+    Similarity.generalisedStringJaccard(a, b, 0.5, 0.0))
+}

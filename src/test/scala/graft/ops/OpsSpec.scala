@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content here entirely"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "der hund und die katze sind im haus"),
+    (6L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 2L) // docs 1 and 4
+    assert(!out.contains(4L))
+  }
+
+  test("jaccard near-dup pairs find the near pair, not the distinct one") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // 8/10 shared distinct tokens
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH finds the same near-dups as exact jaccard") {
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 4L))) // identical docs always collide
+    assert(lsh.contains((1L, 2L)))
+    assert(!lsh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, near docs close, far docs far") {
+    val fps = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("quality + langid + fingerprint") {
+    val q = TextAnalysis.quality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(q(1L) === 9L && q(6L) === 0L)
+    val langs = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(langs(1L) === "en")
+    assert(langs(5L) === "de")
+    assert(langs(6L) === "und")
+    val fp = TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L) !== fp(2L))
+  }
+
+  test("brute-force cosine top-k is exact and deterministic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = SimSearch.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.head._1 === 1L) // nearest neighbour of e0 is e1
+  }
+
+  test("LSH ANN recalls the exact top-1 on clustered data") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(Array.fill(64)(rnd.nextFloat()))
+    val vecs = (0 until 64).map { i =>
+      val c = base(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val exact = SimSearch.bruteForceTopK(vecs.filter($"vec_id" < 4), vecs,
+      "vec_id", "embedding", 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = SimSearch.lshTopK(vecs.filter($"vec_id" < 4), vecs,
+      "vec_id", "embedding", 1, tables = 8, nBits = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same-cluster neighbour recalled for most queries
+    val hits = exact.keys.count(q => ann.get(q).contains(exact(q)))
+    assert(hits >= 3, s"ann=$ann exact=$exact")
+  }
+
+  test("multimodal plumbing: stub decode, frames, resize") {
+    val media = Multimodal.syntheticMedia(docs.filter($"doc_id" <= 4), "doc_id")
+    val feats = Multimodal.extractFeatures(media, buckets = 2).collect()
+    assert(feats.length === 4 && feats.forall(f => f.ok && f.feature.length === 16))
+    // determinism of the stub
+    val feats2 = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_ref -> f.feature.toSeq).toMap
+    feats.foreach(f => assert(feats2(f.media_ref) === f.feature.toSeq))
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() >= 0)
+    val rp = Multimodal.resizePlan(media, 256, 256).collect()
+    rp.foreach { r =>
+      assert(r.getAs[Int]("target_w") <= 256 && r.getAs[Int]("target_h") <= 256)
+    }
+  }
+}

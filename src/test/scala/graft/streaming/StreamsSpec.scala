@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming doc annotation (memory source -> memory sink)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streams.annotateDocs(docs).writeStream
+      .format("memory").queryName("annot").outputMode("append").start()
+    in.addData((1L, "the quick brown fox"), (2L, "der hund und die katze"))
+    q.processAllAvailable()
+    val out = spark.table("annot").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    q.stop()
+    assert(out(1L) === "en" && out(2L) === "de")
+  }
+
+  test("watermarked windowed counts over an event stream") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedEventCounts(events, "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    in.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(6), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first window
+    in.addData((ts(30), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("winagg").collect()
+    q.stop()
+    val clicks = rows.find(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("n") == 2L)
+    assert(clicks.isDefined, rows.mkString(";"))
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streams.sessionize(events, gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    in.addData((7L, ts(10, 0), 1.0), (7L, ts(10, 5), 2.0))
+    q.processAllAvailable()
+    in.addData((7L, ts(12, 0), 3.0)) // gap > 10 min -> closes session 1
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+    q.stop()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_events") === 2L)
+    assert(rows.head.getAs[Double]("sum_value") === 3.0)
+  }
+}
