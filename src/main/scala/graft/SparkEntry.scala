@@ -1,12 +1,16 @@
 package graft
 
+import graft.eval.Evaluator
 import graft.fixtures.MicroCorpus
 import graft.kb.KbIngest
-import graft.ops.{Dedup, SimSearch, TextAnalysis}
-import graft.pipeline.{Candidates, Classes, Schema, T2KPipeline}
+import graft.onetoone.{OneToOne, SimilarityFlooding}
+import graft.ops.{Dedup, Multimodal, SimSearch, TextAnalysis}
+import graft.pipeline.{Candidates, Classes, Keys, Schema, T2KPipeline}
+import graft.triples.Canonicalizer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /**
  * Driver contract (see builder prompt): `queries` exposes one entry per
@@ -208,6 +212,94 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("fingerprint"))),
 
+    // key/subject-column detection (S1/§2.10) over span-encoded customers
+    "q_key_detection" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val nullS = lit(null).cast(StringType)
+      def span(text: org.apache.spark.sql.Column, off: Int) =
+        struct(lit("text").as("kind"), text.as("text"), nullS.as("media_ref"),
+          lit(off).as("offset"))
+      val docs = c.select(
+        concat(lit("cust"), col("c_nationkey"), lit("#r"), col("c_custkey")).as("doc_id"),
+        array(span(col("c_acctbal").cast("string"), 0), span(col("c_name"), 1),
+          span(col("c_mktsegment"), 2)).as("spans"))
+      Keys.detect(graft.model.SpanCodec.columns(docs))
+        .select(col("tableName").as("table_name"), col("colIdx").as("col_idx"))
+    }),
+
+    // URI canonicalisation (S9)
+    "q_canonicalize" -> ((s, dir) => {
+      val uris = t(s, dir, "part").select(col("p_partkey").as("id"),
+        concat(lit("http://dbpedia.org/ontology/PopulatedPlace/"),
+          regexp_replace(col("p_type"), " ", "")).as("uri"))
+      val aliases = Canonicalizer.dbpediaScopedPropertyAliases(uris, "uri")
+      Canonicalizer.canonicalise(uris, aliases, "uri").select("id", "uri")
+    }),
+
+    // P/R/F1 evaluation harness (S8 + MatchingEvaluator shape)
+    "q_eval_prf" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val pred = part.filter(col("p_size") > 25).select(col("p_partkey").as("id"))
+      val gold = part.filter(col("p_size") > 20).select(col("p_partkey").as("id"))
+      val prf = Evaluator.evaluate(pred, gold, Seq("id"))
+      s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(prf.tp, prf.predicted, prf.gold,
+          prf.precision, prf.recall, prf.f1)),
+        StructType(Seq(StructField("tp", org.apache.spark.sql.types.LongType),
+          StructField("n_predicted", org.apache.spark.sql.types.LongType),
+          StructField("n_gold", org.apache.spark.sql.types.LongType),
+          StructField("prec", org.apache.spark.sql.types.DoubleType),
+          StructField("rec", org.apache.spark.sql.types.DoubleType),
+          StructField("f1", org.apache.spark.sql.types.DoubleType))))
+    }),
+
+    // mapped-ratio table filtering (A8): keep tables >= 50% mapped rows,
+    // then left-semi filter the row set
+    "q_table_filter" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val keep = part.groupBy(col("p_brand"))
+        .agg((count(when(col("p_size") <= 25, 1)).cast("double") /
+          count(lit(1))).as("ratio"))
+        .filter(col("ratio") >= 0.5)
+      part.join(keep.select("p_brand"), Seq("p_brand"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_rows"))
+        .select(col("p_brand").as("brand"), col("n_rows"))
+    }),
+
+    // Hungarian 1:1 assignment per group (M3; rows-only: not SQL-expressible)
+    "q_onetoone_hungarian" -> ((s, dir) => {
+      val edges = t(s, dir, "part")
+        .groupBy(col("p_brand").as("groupKey"),
+          pmod(col("p_partkey"), lit(7)).cast("int").as("left"),
+          pmod(col("p_partkey"), lit(5)).cast("int").as("right"))
+        .agg((lit(1.0) / (pmod(min(col("p_partkey")), lit(13)) + 1)).as("score"))
+      OneToOne.filterPerGroup(edges, "hungarian")
+        .select(col("groupKey").as("group_key"), col("left"), col("right"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // similarity-flooding score propagation per group (F1-F5; rows-only)
+    "q_similarity_flooding" -> ((s, dir) => {
+      val seeds = t(s, dir, "part")
+        .groupBy(col("p_brand").as("groupKey"),
+          pmod(col("p_partkey"), lit(6)).cast("int").as("left"),
+          pmod(col("p_partkey"), lit(4)).cast("int").as("right"))
+        .agg((lit(1.0) / (pmod(min(col("p_partkey")), lit(11)) + 1)).as("score"))
+      SimilarityFlooding.run(seeds, "A", 0.1, "stable")
+        .select(col("groupKey").as("group_key"), col("left"), col("right"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // multimodal plumbing: synthetic media -> stubbed feature extraction
+    // (rows-only: hash-based stub)
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(
+        t(s, dir, "documents").limit(200), "doc_id")
+      Multimodal.extractFeatures(media, buckets = 8).toDF()
+        .select(col("media_ref"), col("mime"), col("ok"),
+          size(col("feature")).as("feature_dim"))
+    }),
+
     // full T2K pipeline on the deterministic micro corpus (rows-only)
     "q_t2k_triples" -> ((s, dir) => entry(s).select(
       col("subjectUri").as("subject_uri"), col("predicateUri").as("predicate_uri"),
@@ -372,6 +464,45 @@ object SparkEntry {
         | SELECT g.* FROM g WHERE NOT EXISTS (
         |   SELECT 1 FROM kc WHERE kc.table_name = g.table_name AND kc.col_idx = g.col_idx)
         | UNION ALL SELECT * FROM kc)""".stripMargin,
+
+    "q_key_detection" ->
+      """WITH cols AS (
+        | SELECT 'cust' || c_nationkey AS tn, 0 AS ci, CAST(c_acctbal AS VARCHAR) AS v FROM customer
+        | UNION ALL SELECT 'cust' || c_nationkey, 1, c_name FROM customer
+        | UNION ALL SELECT 'cust' || c_nationkey, 2, c_mktsegment FROM customer),
+        |st AS (SELECT tn, ci, count(*) AS n,
+        |  sum(CASE WHEN regexp_matches(v, '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 ELSE 0 END) AS nnum,
+        |  sum(CASE WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}([ T].*)?$|^(18|19|20|21)\d{2}$') THEN 1 ELSE 0 END) AS ndate,
+        |  count(DISTINCT v) * 1.0 / count(v) AS uniq
+        | FROM cols GROUP BY 1, 2),
+        |strs AS (SELECT * FROM st WHERE NOT (ndate * 2 > n) AND NOT (nnum * 2 > n))
+        |SELECT tn AS table_name, ci AS col_idx FROM strs
+        |QUALIFY row_number() OVER (PARTITION BY tn ORDER BY uniq DESC, ci) = 1""".stripMargin,
+
+    "q_canonicalize" ->
+      """SELECT p_partkey AS id,
+        | regexp_replace('http://dbpedia.org/ontology/PopulatedPlace/' || replace(p_type, ' ', ''),
+        |   '^(https?://dbpedia\.org/ontology)/[A-Z][^/]*/(.+)$', '\1/\2') AS uri
+        |FROM part""".stripMargin,
+
+    "q_eval_prf" ->
+      """WITH p AS (SELECT DISTINCT p_partkey AS id FROM part WHERE p_size > 25),
+        |g AS (SELECT DISTINCT p_partkey AS id FROM part WHERE p_size > 20),
+        |c AS (SELECT (SELECT count(*) FROM p JOIN g USING (id)) AS tp,
+        |  (SELECT count(*) FROM p) AS np, (SELECT count(*) FROM g) AS ng)
+        |SELECT tp, np AS n_predicted, ng AS n_gold,
+        | CAST(tp AS DOUBLE) / np AS prec, CAST(tp AS DOUBLE) / ng AS rec,
+        | CASE WHEN CAST(tp AS DOUBLE) / np + CAST(tp AS DOUBLE) / ng = 0 THEN 0.0
+        |  ELSE 2 * (CAST(tp AS DOUBLE) / np) * (CAST(tp AS DOUBLE) / ng) /
+        |   ((CAST(tp AS DOUBLE) / np) + (CAST(tp AS DOUBLE) / ng)) END AS f1
+        |FROM c""".stripMargin,
+
+    "q_table_filter" ->
+      """WITH keep AS (
+        | SELECT p_brand FROM part GROUP BY 1
+        | HAVING sum(CASE WHEN p_size <= 25 THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5)
+        |SELECT p_brand AS brand, count(*) AS n_rows FROM part
+        |WHERE p_brand IN (SELECT p_brand FROM keep) GROUP BY 1""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH n AS (SELECT vec_id, embedding,

@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
  */
 object ScaleGen {
 
+  /** vocab must stay >> nEntities*labelTokens: web-table subject labels
+    * are near-unique entity names; a tiny vocabulary creates cross-class
+    * token collisions no real corpus has (and additive class weights then
+    * amplify the noise — see ClassDecision semantics). */
   case class Config(nClasses: Int = 20, nEntities: Int = 20000,
                     nTables: Int = 200, rowsPerTable: Int = 50,
-                    vocab: Int = 5000, labelTokens: Int = 3,
+                    vocab: Int = 300000, labelTokens: Int = 3,
                     noisePct: Int = 10, mediaEvery: Int = 7, seed: Long = 42L)
 
   /** Zipfian class boundaries: class k gets a share ∝ 1/(k+1). */
@@ -53,36 +57,49 @@ object ScaleGen {
       .withColumn("propStr", concat_ws(" ",
         word(xxhash64(lit(cfg.seed), col("id"), lit(100)), cfg.vocab),
         word(xxhash64(lit(cfg.seed), col("id"), lit(101)), cfg.vocab)))
+      // heavy-tailed numerics (log-uniform over 5 decades): KB quantities
+      // (population, area, counts) are power-law — and the blocker's
+      // kurtosis >= 2 gate (reference semantics) requires heavy tails.
       .withColumn("propNum",
-        (pmod(xxhash64(lit(cfg.seed), col("id"), lit(200)), lit(100000L)) + 1).cast("string"))
+        floor(pow(lit(10.0),
+          pmod(xxhash64(lit(cfg.seed), col("id"), lit(200)), lit(5000L))
+            .cast("double") / 1000.0) + 1).cast("long").cast("string"))
       .withColumn("propDate", date_format(date_add(lit("1950-01-01"),
         pmod(xxhash64(lit(cfg.seed), col("id"), lit(300)), lit(25000L)).cast("int")),
         "yyyy-MM-dd"))
       .withColumnRenamed("id", "entityId")
   }
 
-  /** KB long-form (for KbIngest.fromLongForm) + hierarchy. */
+  /** KB long-form (for KbIngest.fromLongForm) + hierarchy. Non-label
+    * properties are CLASS-SCOPED URIs (kb://prop/str/class3): DBpedia
+    * properties are mostly class-specific, and property->class ownership
+    * is the signal class refinement runs on (ClassRefinement semantics). */
   def kbLongForm(spark: SparkSession, cfg: Config): DataFrame = {
     val e = entities(spark, cfg)
     val props = Seq(
-      (Dtype.RdfsLabelUri, "label", "label"),
-      ("kb://prop/str", "strprop", "propStr"),
-      ("kb://prop/num", "numprop", "propNum"),
-      ("kb://prop/date", "dateprop", "propDate"))
-    props.map { case (uri, header, valCol) =>
+      ("str", "strprop", "propStr"), ("num", "numprop", "propNum"),
+      ("date", "dateprop", "propDate"))
+    val label = e.select(concat(lit("class"), col("classId")).as("className"),
+      lit(Dtype.RdfsLabelUri).as("propUri"), lit("label").as("propHeader"),
+      col("uri"), col("label").as("rawValue"))
+    props.map { case (kind, header, valCol) =>
       e.select(concat(lit("class"), col("classId")).as("className"),
-        lit(uri).as("propUri"), lit(header).as("propHeader"),
+        concat(lit(s"kb://prop/$kind/class"), col("classId")).as("propUri"),
+        lit(header).as("propHeader"),
         col("uri"), col(valCol).as("rawValue"))
-    }.reduce(_ unionByName _)
+    }.foldLeft(label)(_ unionByName _)
   }
 
   def hierarchy(cfg: Config): Seq[(String, String)] =
     (0 until cfg.nClasses).map(k => s"class$k" -> "root")
 
-  /** Surface forms: for 20% of entities, label minus its last token. */
+  /** Surface forms: every entity gets its label minus the last token as an
+    * alternative name — mirrors DBpedia's comprehensive redirect corpus
+    * (the reference merges redirects into the same dictionary,
+    * SurfaceForms.java:126-170), and is exactly the noise webCorpus
+    * injects into 10% of key cells. */
   def surfaceForms(spark: SparkSession, cfg: Config): DataFrame = {
     entities(spark, cfg)
-      .filter(pmod(xxhash64(lit(cfg.seed), col("entityId"), lit(400)), lit(5)) === 0)
       .select(lower(col("label")).as("label"),
         concat_ws(" ", slice(split(col("label"), " "), 1, cfg.labelTokens - 1))
           .as("surfaceForm"))
@@ -149,14 +166,19 @@ object ScaleGen {
       col("rowNum").cast("int").as("rowNum"), col("uri"))
     val gsClass = tables.select(concat(lit("tbl"), col("tableId"), lit(".csv")).as("tableName"),
       concat(lit("class"), col("tableClass")).as("className"))
-    val gsProperty = tables.selectExpr("concat('tbl', tableId, '.csv') AS tableName")
-      .crossJoin(spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
-        org.apache.spark.sql.Row(0, Dtype.RdfsLabelUri),
-        org.apache.spark.sql.Row(1, "kb://prop/str"),
-        org.apache.spark.sql.Row(2, "kb://prop/num"),
-        org.apache.spark.sql.Row(3, "kb://prop/date")),
-        StructType(Seq(StructField("colIdx", IntegerType),
-          StructField("propUri", StringType)))))
+    val gsProperty = tables.select(
+        concat(lit("tbl"), col("tableId"), lit(".csv")).as("tableName"),
+        col("tableClass"))
+      .select(col("tableName"), explode(array(
+        struct(lit(0).as("colIdx"), lit(Dtype.RdfsLabelUri).as("propUri")),
+        struct(lit(1).as("colIdx"),
+          concat(lit("kb://prop/str/class"), col("tableClass")).as("propUri")),
+        struct(lit(2).as("colIdx"),
+          concat(lit("kb://prop/num/class"), col("tableClass")).as("propUri")),
+        struct(lit(3).as("colIdx"),
+          concat(lit("kb://prop/date/class"), col("tableClass")).as("propUri")))).as("p"))
+      .select(col("tableName"), col("p.colIdx").as("colIdx"),
+        col("p.propUri").as("propUri"))
     (docs, gsInstance, gsProperty, gsClass)
   }
 }
