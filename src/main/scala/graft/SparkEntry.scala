@@ -127,18 +127,25 @@ object SparkEntry {
       TextAnalysis.langId(t(s, dir, "documents"))
         .select(col("doc_id"), col("pred_lang"))),
 
-    // token-set Jaccard near-dup pairs (dedup family + B1 join shape)
+    // token-set Jaccard near-dup pairs (dedup family + B1 join shape).
+    // Bounded to the first 5000 parts: the part-name vocabulary is tiny,
+    // so the token self-join is inherently quadratic in corpus density —
+    // at sf<=0.01 the bound admits every row (oracle-identical).
     "q_neardup_jaccard" -> ((s, dir) => {
-      val part = t(s, dir, "part").select(col("p_partkey").as("doc_id"),
-        col("p_name").as("text"))
+      val part = t(s, dir, "part").filter(col("p_partkey") < 5000)
+        .select(col("p_partkey").as("doc_id"), col("p_name").as("text"))
       Dedup.jaccardPairs(part, "doc_id", "text", 0.5)
         .select(col("id1"), col("id2"), col("jaccard"))
     }),
 
-    // T2K candidate generation (B1/B2/R1/R2) over part-name entities
+    // T2K candidate generation (B1/B2/R1/R2) over part-name entities.
+    // Query side bounded to 2000 rows (all rows at the sf0.01 verify
+    // scale); the index side stays complete — the realistic asymmetry
+    // (rows << KB) of the actual pipeline.
     "q_candidates_topk" -> ((s, dir) => {
       val pt = partTokens(s, dir)
-      val cells = t(s, dir, "part").select(lit("part").as("tableName"),
+      val cells = t(s, dir, "part").filter(col("p_partkey") < 2000)
+        .select(lit("part").as("tableName"),
         col("p_partkey").cast("int").as("rowNum"), lit(0).as("colIdx"),
         lit("text").as("kind"), col("p_name").as("text"),
         lit(null).cast("string").as("mediaRef"))
@@ -199,9 +206,19 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rk"))
     }),
 
-    // MinHash-LSH near-dup (hash-based: rows-only oracle)
+    // exact embedding-cosine near-dup pairs (the dedup baseline; the scale
+    // path is the LSH-bucketed variant)
+    "q_embed_neardup" -> ((s, dir) =>
+      SimSearch.bruteForceNearDup(t(s, dir, "embeddings")
+          .filter(col("vec_id") < 200), "vec_id", "embedding", 0.93)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))),
+
+    // MinHash-LSH near-dup (hash-based: rows-only oracle). Threshold 0.8:
+    // the synthetic documents share a tiny vocabulary, so 0.5 would accept
+    // a quadratic fraction of all pairs at larger SFs.
     "q_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", 0.5)),
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", 0.8,
+        numHashes = 64, bands = 8)),
 
     // SimHash near-dup (hash-based: rows-only oracle)
     "q_simhash_pairs" -> ((s, dir) =>
@@ -414,7 +431,7 @@ object SparkEntry {
     "q_neardup_jaccard" ->
       """WITH s AS (SELECT p_partkey AS id,
         |  list_distinct(list_filter(string_split(lower(regexp_replace(p_name, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS toks
-        | FROM part),
+        | FROM part WHERE p_partkey < 5000),
         |t AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
         |p AS (SELECT a.id AS id1, b.id AS id2, any_value(a.n) AS n1,
         |  any_value(b.n) AS n2, count(*) AS shared
@@ -429,7 +446,7 @@ object SparkEntry {
         |t AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
         |p AS (SELECT a.id AS rid, b.id AS uid, any_value(a.n) AS na,
         |  any_value(b.n) AS nb, count(*) AS shared
-        | FROM t a JOIN t b ON a.tok = b.tok GROUP BY 1, 2),
+        | FROM t a JOIN t b ON a.tok = b.tok WHERE a.id < 2000 GROUP BY 1, 2),
         |j AS (SELECT rid, 'p' || lpad(CAST(uid AS VARCHAR), 10, '0') AS uri,
         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS score FROM p
         | WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5)
@@ -503,6 +520,16 @@ object SparkEntry {
         | HAVING sum(CASE WHEN p_size <= 25 THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5)
         |SELECT p_brand AS brand, count(*) AS n_rows FROM part
         |WHERE p_brand IN (SELECT p_brand FROM keep) GROUP BY 1""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt((SELECT sum(x * x) FROM (SELECT unnest(embedding) AS x) z)) AS nrm
+        | FROM embeddings WHERE vec_id < 200),
+        |s AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  (SELECT sum(x * y) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |    / (a.nrm * b.nrm) AS cosine
+        | FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.93""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH n AS (SELECT vec_id, embedding,

@@ -36,11 +36,37 @@ object ScalingBench {
       val nDocs = docs.count()
       val t0 = System.nanoTime()
       val kb = KbIngest.fromLongForm(spark, kbLong, ScaleGen.hierarchy(cfg))
-      val result = T2KPipeline.run(docs, kb, sf, ScaleGen.hierarchy(cfg).toMap)
+      System.err.println(f"[stage] kb_ingest_def           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val ckpt = if (sys.env.contains("SPARK_GRAFT_PROFILE"))
+        graft.checkpoint.TimedLocalCheckpointer else graft.checkpoint.LocalCheckpointer
+      val result = T2KPipeline.run(docs, kb, sf, ScaleGen.hierarchy(cfg).toMap,
+        ckpt = ckpt)
+      val tw = System.nanoTime()
       result.triples.write.mode("overwrite")
         .parquet(s"$dataDir/out_triples_c$cores.parquet")
+      System.err.println(f"[stage] triples_write          ${(System.nanoTime() - tw) / 1e9}%8.2f s")
       val secs = (System.nanoTime() - t0) / 1e9
       (nDocs, secs)
+    } finally spark.stop()
+  }
+
+  /** CPU-bound scaling probe: generalised-string-Jaccard over generated
+    * fuzzy pairs — high compute per byte, so it isolates CPU scaling from
+    * the single-socket DRAM-bandwidth ceiling that caps the memory-bound
+    * pipeline stages on a one-box local[N] proxy. */
+  def cpuProbe(cores: Int, nPairs: Long): Double = {
+    val spark = session(cores)
+    try {
+      import org.apache.spark.sql.functions._
+      val df = spark.range(nPairs)
+        .withColumn("a", concat_ws(" ",
+          (0 until 5).map(i => md5(concat(col("id"), lit(i)))): _*))
+        .withColumn("b", concat_ws(" ",
+          (0 until 5).map(i => md5(concat(col("id") + (i % 2), lit(i)))): _*))
+      val t0 = System.nanoTime()
+      df.select(graft.util.Udfs.gsjRaw(col("a"), col("b")).as("s"))
+        .agg(sum(col("s"))).collect()
+      (System.nanoTime() - t0) / 1e9
     } finally spark.stop()
   }
 
@@ -70,20 +96,28 @@ object ScalingBench {
     val thrLow = nDocs / tLow
     val thrHigh = nDocs / tHigh
     val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
+    // CPU-bound probe at both levels (JIT warm by now)
+    val probePairs = sys.env.getOrElse("SPARK_GRAFT_PROBE_PAIRS", "2000000").toLong
+    val pHigh = cpuProbe(nHigh, probePairs)
+    val pLow = cpuProbe(nLow, probePairs)
+    val pEff = (pLow / pHigh) / (nHigh.toDouble / nLow)
     val json = f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio",""" +
       f""""docs":$nDocs,"coresLow":$nLow,"coresHigh":$nHigh,""" +
       f""""secsLow":$tLow%.2f,"secsHigh":$tHigh%.2f,""" +
-      f""""docsPerSecLow":$thrLow%.1f,"docsPerSecHigh":$thrHigh%.1f}"""
+      f""""docsPerSecLow":$thrLow%.1f,"docsPerSecHigh":$thrHigh%.1f,""" +
+      f""""cpuProbeSecsLow":$pLow%.2f,"cpuProbeSecsHigh":$pHigh%.2f,""" +
+      f""""cpuProbeEfficiency":$pEff%.3f}"""
     println(json)
     val line = f"| ${java.time.LocalDate.now} | $nDocs docs | local[$nLow]: $thrLow%.0f docs/s " +
-      f"(${tLow}%.1f s) | local[$nHigh]: $thrHigh%.0f docs/s (${tHigh}%.1f s) | $eff%.3f |\n"
+      f"(${tLow}%.1f s) | local[$nHigh]: $thrHigh%.0f docs/s (${tHigh}%.1f s) | $eff%.3f | " +
+      f"cpu-probe: ${pLow}%.1f s vs ${pHigh}%.1f s -> $pEff%.3f |\n"
     val p = Paths.get("BENCH")
     Files.createDirectories(p)
     val f = p.resolve("BASELINE.md")
     if (!Files.exists(f)) Files.writeString(f,
       "# BENCH baseline — measured scaling (local[N] vs local[4N] proxy)\n\n" +
-        "| date | input | low-parallelism | high-parallelism | efficiency (T_N/T_4N)/4 |\n" +
-        "|---|---|---|---|---|\n")
+        "| date | input | low-parallelism | high-parallelism | efficiency (T_N/T_4N)/4 | cpu probe |\n" +
+        "|---|---|---|---|---|---|\n")
     Files.writeString(f, line, java.nio.file.StandardOpenOption.APPEND)
   }
 }

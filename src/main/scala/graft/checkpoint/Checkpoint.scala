@@ -43,6 +43,16 @@ object LocalCheckpointer extends Checkpointer {
   def apply(name: String, df: => DataFrame): DataFrame = df.localCheckpoint()
 }
 
+/** LocalCheckpointer + per-stage wall-time on stderr (bench profiling). */
+object TimedLocalCheckpointer extends Checkpointer {
+  def apply(name: String, df: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = df.localCheckpoint()
+    System.err.println(f"[stage] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    out
+  }
+}
+
 class ParquetCheckpointer(spark: SparkSession, dir: String) extends Checkpointer {
   Files.createDirectories(Paths.get(dir))
   private val manifestPath = Paths.get(dir, "manifest.jsonl")

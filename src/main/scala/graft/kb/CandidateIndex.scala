@@ -42,9 +42,11 @@ object CandidateIndex {
     * from shared-token counts in the lookup join. */
   def build(kbCells: DataFrame, surfaceForms: DataFrame,
             dfCap: Long = 100000): DataFrame = {
+    // persisted: the count() action below and the explode both consume it
     val names = entityNames(kbCells, surfaceForms)
       .withColumn("tokens", array_distinct(split(col("nameNorm"), " ")))
       .withColumn("nNameTok", size(col("tokens")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = names.select(col("uri"), col("classId"), col("nameNorm"),
       col("nNameTok"), explode(col("tokens")).as("token"))
     val nNames = names.count().max(1L)

@@ -84,11 +84,14 @@ object KbIngest {
     val depthMap = depths(hierarchy)
     val depthUdf = udf((c: String) => depthMap.getOrElse(c, 0))
 
-    // Multi-value "{a|b}" split.
+    // Multi-value "{a|b}" split. Persisted: the prop-dim aggregation, the
+    // dedup window and the class-size count all consume it — without the
+    // persist each driver collect below re-runs the full upstream scan.
     val long = long0
       .withColumn("value", explode(split(regexp_replace(col("rawValue"), "[{}]", ""), "\\|")))
       .filter(col("value") =!= "" && col("value") =!= "NULL")
       .drop("rawValue")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Global property ids: deterministic (sorted URI), rdfs:label -> 0.
     val propDim = long.groupBy("propUri")
@@ -122,6 +125,7 @@ object KbIngest {
         Window.partitionBy(col("uri"))
           .orderBy(col("classDepth").desc, col("className"))))
       .filter(col("className") === col("keepClass")).drop("keepClass", "classDepth")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Class ids: deterministic by name; superclasses with no data file are
     // still registered (KnowledgeBase.java:272-289).
@@ -135,6 +139,7 @@ object KbIngest {
       .join(broadcast(props.select("propUri", "propId", "dtype")), "propUri")
       .withColumn("classId", classIdUdf(col("className")))
       .select("classId", "className", "uri", "propId", "value", "dtype")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sizes = cells.filter(col("propId") === RdfsLabelPropId)
       .groupBy("className").agg(countDistinct("uri").as("size"))

@@ -84,6 +84,19 @@ object SimSearch {
       .select(col("qid"), col("cid"), col("cosine"), col("rk"))
   }
 
+  /** Exact all-pairs cosine near-dup (id1 < id2, cosine >= threshold) —
+    * correctness baseline; quadratic, small inputs only. The scale path is
+    * [[cosineNearDupPairs]]. */
+  def bruteForceNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = vectors.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
     * via the same LSH bucketing — the embedding leg of Dedup. */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

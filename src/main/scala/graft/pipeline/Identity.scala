@@ -42,7 +42,7 @@ object Identity {
       .select("tableName", "rowNum", "colIdx", "text")
     val kbVals = kbCells.select(col("uri"), col("propId"), col("value").as("kbValue"))
 
-    val strSim = Udfs.gsjRaw(Normalize.normaliseCol(col("text")),
+    val strSim = Udfs.gsjRawFast(Normalize.normaliseCol(col("text")),
       Normalize.normaliseCol(col("kbValue")))
     val numSim = Similarity.deviationSimCol(
       graft.util.SafeCast.toDouble(col("text")), graft.util.SafeCast.toDouble(col("kbValue")))

@@ -56,7 +56,7 @@ object Schema {
   private def valueSim(dtypeCol: String): org.apache.spark.sql.Column = {
     val webText = col("text")
     val kbVal = col("kbValue")
-    val strSim = Udfs.gsjRaw(Normalize.normaliseCol(webText), Normalize.normaliseCol(kbVal))
+    val strSim = Udfs.gsjRawFast(Normalize.normaliseCol(webText), Normalize.normaliseCol(kbVal))
     val numSim = Similarity.deviationSimCol(
       graft.util.SafeCast.toDouble(webText), graft.util.SafeCast.toDouble(kbVal))
     val dateSim = Similarity.weightedDateSimCol(
@@ -75,11 +75,27 @@ object Schema {
    * `resultThreshold`. rdfs:label is never a vote target
    * (SchemaVotingRule.java:71-92).
    */
+  /** R5 surface-form expansion: string KB values additionally compare
+    * against their surface forms; the later max-per-pair keeps the best
+    * (MatchableTableRowComparatorBasedOnSurfaceForms.java:34-127). */
+  def expandWithSurfaceForms(kbVals: DataFrame, surfaceForms: Option[DataFrame]): DataFrame =
+    surfaceForms match {
+      case None => kbVals
+      case Some(sf) =>
+        val alts = kbVals.join(
+            sf.select(Normalize.normaliseCol(col("label")).as("labelNorm"),
+              col("surfaceForm")),
+            Normalize.normaliseCol(col("kbValue")) === col("labelNorm"))
+          .select(col("uri"), col("propId"), col("surfaceForm").as("kbValue"))
+        kbVals.unionByName(alts)
+    }
+
   def duplicateBased(candidates: DataFrame, cells: DataFrame, kbCells: DataFrame,
                      pairs: DataFrame,
                      dupK: Int = 2, dupThreshold: Double = 0.5,
                      voteThreshold: Double = 0.4,
-                     resultThreshold: Double = 0.02): DataFrame = {
+                     resultThreshold: Double = 0.02,
+                     surfaceForms: Option[DataFrame] = None): DataFrame = {
     val dups = candidates.filter(col("score") >= dupThreshold)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("tableName"), col("rowNum"))
@@ -88,7 +104,9 @@ object Schema {
       .select(col("tableName"), col("rowNum"), col("uri"), col("score").as("dupScore"))
     val webVals = cells.filter(col("kind") === "text")
       .select("tableName", "rowNum", "colIdx", "text")
-    val kbVals = kbCells.select(col("uri"), col("propId"), col("value").as("kbValue"))
+    val kbVals = expandWithSurfaceForms(
+      kbCells.select(col("uri"), col("propId"), col("value").as("kbValue")),
+      surfaceForms)
     val joined = dups
       .join(webVals, Seq("tableName", "rowNum"))
       .join(broadcast(pairs.filter(col("propId") =!= KbIngest.RdfsLabelPropId)),

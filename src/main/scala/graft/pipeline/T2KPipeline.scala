@@ -42,6 +42,12 @@ object T2KPipeline {
           .orderBy(col("score").desc, col(tieCol).asc)))
       .filter(col("rk") === 1).drop("rk")
 
+  /** Lazy persist for SMALL reused dims: avoids both recomputation and the
+    * serial job barrier an eager checkpoint would add. Plans stay shallow
+    * because their heavy inputs are checkpoint-truncated. */
+  private def cache(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def run(docs: DataFrame, kb: KbIngest.Ingested, surfaceForms: DataFrame,
           hierarchy: Map[String, String],
           cfg: T2KConfig = T2KConfig(),
@@ -49,7 +55,7 @@ object T2KPipeline {
 
     // --- decode + dims (S1) ---------------------------------------------
     val cells = ckpt("cells", SpanCodec.cells(docs))
-    val webCols = ckpt("web_cols", SpanCodec.columns(docs))
+    val webCols = cache(SpanCodec.columns(docs)) // small dim: one row/column
     val keyCols = Keys.detect(webCols)
     val keyCorrs = Keys.keyCorrs(keyCols)
     // kb.cells feeds ~8 downstream joins: checkpoint once so each reuse
@@ -63,11 +69,12 @@ object T2KPipeline {
       CandidateIndex.build(kbCells, surfaceForms, cfg.tokenDfCap))
 
     // --- candidate selection (B1 + R1/R2) -------------------------------
-    val selection = ckpt("candidates_selection", Candidates.generate(
-      cells, keyCols, index, cfg.selectionCandidates, cfg.selectionThreshold))
+    // consumed once (class decision) — no barrier needed
+    val selection = Candidates.generate(
+      cells, keyCols, index, cfg.selectionCandidates, cfg.selectionThreshold)
 
     // --- class decision (A1-A3) -----------------------------------------
-    val classes0 = ckpt("classes_decided", Classes.decide(selection, kb.classes,
+    val classes0 = cache(Classes.decide(selection, kb.classes,
       cfg.classConsensus, cfg.classFallbackTopK))
 
     // --- candidate refinement (class-filtered, th 0.7) ------------------
@@ -77,8 +84,9 @@ object T2KPipeline {
 
     // --- first duplicate-based schema matching + class refinement -------
     val pairs0 = Schema.blockPairs(webCols, classes0, kbPropsByClass, cfg.kurtosisMin)
-    val dup0 = ckpt("dup_corrs_seed", Schema.duplicateBased(refined, cells, kbCells,
-      pairs0, cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupResultThreshold))
+    val dup0 = cache(Schema.duplicateBased(refined, cells, kbCells,
+      pairs0, cfg.dupK, cfg.dupThreshold, cfg.voteThreshold,
+      cfg.dupResultThreshold, Some(surfaceForms)))
     val schemaSeed = dup0.unionByName(keyCorrs.join(
       dup0.select("tableName", "colIdx"), Seq("tableName", "colIdx"), "left_anti"))
     val classesRefined = Classes.refine(schemaSeed, propClasses)
@@ -87,23 +95,24 @@ object T2KPipeline {
     // candidate-filter set additionally admits superclasses (A4).
     val classes0Top1 = top1(classes0.withColumnRenamed("classScore", "score"),
       Seq("tableName"), "classId").withColumnRenamed("score", "classScore")
-    val classesBest = ckpt("classes_best", classesRefined.unionByName(
+    val classesBest = cache(classesRefined.unionByName(
       classes0Top1.join(classesRefined.select("tableName").distinct(),
         Seq("tableName"), "left_anti")))
-    val classes = ckpt("classes_filter_set",
+    val classes = cache(
       Classes.withAncestors(classesBest, kb.classes, hierarchy))
     val candidates = ckpt("candidates_filtered",
       Classes.filterCandidates(refined, classes))
 
     // --- iteration loop (T2KMatch.java:356-405) -------------------------
-    val pairs = ckpt("blocked_pairs",
+    val pairs = cache(
       Schema.blockPairs(webCols, classes, kbPropsByClass, cfg.kurtosisMin))
     var schemaCorrs: DataFrame = null
     var instanceCands: DataFrame = candidates
     for (it <- 0 until math.max(cfg.numIterations, 1)) {
       val label = Schema.labelBased(pairs, webCols, kb.props)
       val dup = Schema.duplicateBased(instanceCands, cells, kbCells, pairs,
-        cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupResultThreshold)
+        cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupResultThreshold,
+        Some(surfaceForms))
       val combined = Schema.combine(dup, label, keyCorrs,
         cfg.combineWeightDup, cfg.combineWeightLabel, cfg.combineThreshold)
       schemaCorrs = if (it == 0) combined else Schema.update(schemaCorrs, combined)
@@ -114,9 +123,9 @@ object T2KPipeline {
     }
 
     // --- 1:1 top-1 (T2KMatch.java:411-413) ------------------------------
-    val instanceTop1 = ckpt("instance_corrs",
+    val instanceTop1 = cache(
       top1(instanceCands, Seq("tableName", "rowNum"), "uri"))
-    val schemaTop1 = ckpt("schema_corrs",
+    val schemaTop1 = cache(
       top1(schemaCorrs, Seq("tableName", "colIdx"), "propId"))
 
     // --- optional mapped-ratio table filter (A8) ------------------------
@@ -138,6 +147,8 @@ object T2KPipeline {
       .join(broadcast(kb.classes.select("classId", "className")), "classId")
       .select(col("tableName"), col("classId"), col("className"),
         col("classScore").as("score"))
+    // lazy: the caller's write/collect is the action (ParquetCheckpointer
+    // users still get a durable stage via ckpt)
     val triples = ckpt("triples", Triples.generate(
       instF, schemaF, cells, kbCells, kb.props, webCols))
 

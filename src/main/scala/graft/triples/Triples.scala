@@ -33,7 +33,7 @@ object Triples {
     val colTypes = webCols.select("tableName", "colIdx", "dtype")
     val kbVals = kbCells.select(col("uri"), col("propId"), col("value").as("kbValue"))
 
-    val strSim = Udfs.gsj(Normalize.normaliseCol(col("text")),
+    val strSim = Udfs.gsjFast(Normalize.normaliseCol(col("text")),
       Normalize.normaliseCol(col("kbValue")))
     val numSim = Similarity.percentageSimCol(
       graft.util.SafeCast.toDouble(col("text")),

@@ -1,7 +1,8 @@
 package graft.util
 
 import graft.text.Similarity
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, udf, when}
 
 /**
  * The small UDF surface (SURVEY.md §2.13). Only similarity kernels whose
@@ -18,4 +19,13 @@ object Udfs {
   /** Unthresholded variant (jaccardThreshold = 0) for vote scoring. */
   val gsjRaw = udf((a: String, b: String) =>
     Similarity.generalisedStringJaccard(a, b, 0.5, 0.0))
+
+  /** Equality fast path: most true matches are exact after normalisation,
+    * so skip the O(tokens² × len²) greedy kernel for them — the UDF only
+    * runs on genuinely fuzzy pairs (codegen evaluates `when` lazily). */
+  def gsjFast(a: Column, b: Column): Column =
+    when(a.isNotNull && a === b, lit(1.0)).otherwise(gsj(a, b))
+
+  def gsjRawFast(a: Column, b: Column): Column =
+    when(a.isNotNull && a === b, lit(1.0)).otherwise(gsjRaw(a, b))
 }
