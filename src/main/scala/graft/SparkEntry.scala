@@ -157,7 +157,8 @@ object SparkEntry {
       val nNames = pt.count().max(1L)
       val index = pt
         .select(concat(lit("p"), lpad(col("id").cast("string"), 10, "0")).as("uri"),
-          lit(0).as("classId"), concat_ws(" ", col("toks")).as("nameNorm"),
+          lit(0).as("classId"),
+          xxhash64(concat_ws(" ", col("toks"))).as("nameId"),
           col("n").as("nNameTok"), explode(col("toks")).as("token"))
         .withColumn("idf", lit(1.0))
       Candidates.generate(cells, keyCols, index, 5, 0.5)

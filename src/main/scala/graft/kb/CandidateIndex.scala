@@ -37,23 +37,26 @@ object CandidateIndex {
       .distinct()
   }
 
-  /** names -> candidate_tokens(token, idf, uri, classId, nameNorm, nNameTok).
+  /** names -> candidate_tokens(token, idf, uri, classId, nameId, nNameTok).
     * Token sets are distinct per name so Jaccard can be computed exactly
-    * from shared-token counts in the lookup join. */
+    * from shared-token counts in the lookup join. Names are carried as
+    * 64-bit hashes — only name identity matters downstream, and hashed
+    * keys keep the lookup join's shuffle rows narrow. */
   def build(kbCells: DataFrame, surfaceForms: DataFrame,
             dfCap: Long = 100000): DataFrame = {
     // persisted: the count() action below and the explode both consume it
     val names = entityNames(kbCells, surfaceForms)
       .withColumn("tokens", array_distinct(split(col("nameNorm"), " ")))
       .withColumn("nNameTok", size(col("tokens")))
+      .withColumn("nameId", xxhash64(col("nameNorm")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = names.select(col("uri"), col("classId"), col("nameNorm"),
+    val exploded = names.select(col("uri"), col("classId"), col("nameId"),
       col("nNameTok"), explode(col("tokens")).as("token"))
     val nNames = names.count().max(1L)
     val tokenDf = exploded.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .withColumn("idf", log(lit(nNames.toDouble + 1.0) / col("df")))
     exploded.join(tokenDf, "token")
-      .select("token", "idf", "uri", "classId", "nameNorm", "nNameTok")
+      .select("token", "idf", "uri", "classId", "nameId", "nNameTok")
   }
 }

@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
  */
 object Candidates {
 
-  /** cells + keyCols -> one record per (row, distinct key token). */
+  /** cells + keyCols -> one record per (row, distinct key token). Only the
+    * token and the set size survive into the shuffle — the key string
+    * itself is not needed downstream (Jaccard is computed from counts). */
   def keyTokens(cells: DataFrame, keyCols: DataFrame): DataFrame = {
     cells.join(keyCols, Seq("tableName", "colIdx"))
       .filter(col("kind") === "text")
@@ -38,7 +40,7 @@ object Candidates {
       .filter(col("keyNorm").isNotNull)
       .withColumn("keyTokens", array_distinct(split(col("keyNorm"), " ")))
       .withColumn("nKeyTok", size(col("keyTokens")))
-      .select(col("tableName"), col("rowNum"), col("keyNorm"), col("nKeyTok"),
+      .select(col("tableName"), col("rowNum"), col("nKeyTok"),
         explode(col("keyTokens")).as("token"))
   }
 
@@ -60,9 +62,11 @@ object Candidates {
       case None => hits0
     }
     // Exact Jaccard per (row, candidate name) from shared-token counts.
+    // Names are pre-hashed 64-bit ids (CandidateIndex) — the aggregation
+    // only needs name identity, and hashed keys keep shuffle rows narrow.
     val perName = hits
       .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
-        col("nameNorm"), col("nNameTok"), col("nKeyTok"))
+        col("nameId"), col("nNameTok"), col("nKeyTok"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
