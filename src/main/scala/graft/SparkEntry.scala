@@ -99,7 +99,12 @@ object SparkEntry {
         .withColumn("session_id", sum(col("new_session"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        // order-insensitive float sum: scale to longs pre-aggregation so
+        // the summation order can't move the last digit (hash agg order is
+        // nondeterministic; both engines round the same IEEE double, then
+        // sum exact integers)
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 10000).cast("long")) / 10000.0).as("sum_value"))
         .select(col("user_id"), col("session_id"), col("n_events"), col("sum_value"))
     }),
 
@@ -375,7 +380,7 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         | FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
-        | round(sum(value), 4) AS sum_value
+        | sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_exact" ->

@@ -56,8 +56,11 @@ object Candidates {
                classesPerTable: Option[DataFrame] = None): DataFrame = {
     val kt = keyTokens(cells, keyCols)
     val hits0 = kt.join(candidateTokens, "token")
+    // No broadcast hint: classesPerTable is O(#tables) rows — at millions
+    // of tables that's a multi-GB driver broadcast. AQE decides; the
+    // left-semi is fine as a shuffle.
     val hits = classesPerTable match {
-      case Some(cpt) => hits0.join(broadcast(cpt.select("tableName", "classId")),
+      case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
         Seq("tableName", "classId"), "left_semi")
       case None => hits0
     }

@@ -47,10 +47,18 @@ object Classes {
    * the matched property), argmax class per table, then close over
    * superclasses (driver-side hierarchy, tiny).
    * `propClasses` = distinct (classId, propId) ownership pairs.
+   * `decisionClasses` (tableName, classId) restricts scoring to the
+   * table's OWN decision classes — the reference iterates only
+   * classesPerTable.get(tableId) (ClassRefinement.java:82-104); without
+   * the guard every class owning rdfs:label ties at the key-corr score
+   * and the argmax degenerates to the globally lowest classId.
    */
-  def refine(schemaCorrs: DataFrame, propClasses: DataFrame): DataFrame = {
+  def refine(schemaCorrs: DataFrame, propClasses: DataFrame,
+             decisionClasses: DataFrame): DataFrame = {
     val perClass = schemaCorrs
       .join(propClasses, "propId")
+      .join(decisionClasses.select("tableName", "classId"),
+        Seq("tableName", "classId"), "left_semi")
       .groupBy(col("tableName"), col("classId"))
       .agg(sum(col("score")).as("classScore"))
     perClass.withColumn("rk", row_number().over(
@@ -82,8 +90,9 @@ object Classes {
   }
 
   /** Candidate filtering: keep candidates whose class is in the table's
-    * (refined) class set. */
+    * (refined) class set. No broadcast hint: the class set is O(#tables)
+    * — multi-GB at the north-star scale — so AQE picks the strategy. */
   def filterCandidates(candidates: DataFrame, classesPerTable: DataFrame): DataFrame =
-    candidates.join(broadcast(classesPerTable.select("tableName", "classId")),
+    candidates.join(classesPerTable.select("tableName", "classId"),
       Seq("tableName", "classId"), "left_semi")
 }

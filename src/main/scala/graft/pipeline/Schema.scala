@@ -51,12 +51,16 @@ object Schema {
       .distinct()
   }
 
-  /** Typed value similarity dispatch (R4-R6 semantics): string -> GSJ,
-    * numeric -> deviation sim, date -> weighted date sim (1,3,5). */
+  /** Typed value similarity dispatch (R4-R6 semantics): string -> GSJ
+    * with the reference's 0.5 jaccard floor (DuplicateBasedSchemaMatching
+    * .java:81 wires GeneralisedStringJaccard(Levenshtein, 0.5, 0.5), which
+    * zeroes scores below 0.5 BEFORE the 0.4 vote threshold), numeric ->
+    * deviation sim, date -> weighted date sim (1,3,5) — the non-string
+    * comparators have no inner floor. */
   private def valueSim(dtypeCol: String): org.apache.spark.sql.Column = {
     val webText = col("text")
     val kbVal = col("kbValue")
-    val strSim = Udfs.gsjRawFast(Normalize.normaliseCol(webText), Normalize.normaliseCol(kbVal))
+    val strSim = Udfs.gsjFast(Normalize.normaliseCol(webText), Normalize.normaliseCol(kbVal))
     val numSim = Similarity.deviationSimCol(
       graft.util.SafeCast.toDouble(webText), graft.util.SafeCast.toDouble(kbVal))
     val dateSim = Similarity.weightedDateSimCol(
@@ -107,9 +111,11 @@ object Schema {
     val kbVals = expandWithSurfaceForms(
       kbCells.select(col("uri"), col("propId"), col("value").as("kbValue")),
       surfaceForms)
+    // pairs is O(#tables × cols × props) — never force a broadcast of it;
+    // AQE broadcasts when it measures small.
     val joined = dups
       .join(webVals, Seq("tableName", "rowNum"))
-      .join(broadcast(pairs.filter(col("propId") =!= KbIngest.RdfsLabelPropId)),
+      .join(pairs.filter(col("propId") =!= KbIngest.RdfsLabelPropId),
         Seq("tableName", "colIdx"))
       .join(kbVals, Seq("uri", "propId"))
       .withColumn("sim", valueSim("dtype"))

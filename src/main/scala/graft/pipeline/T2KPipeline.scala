@@ -22,7 +22,8 @@ case class T2KConfig(
   classConsensus: Double = 0.5, classFallbackTopK: Int = 5,           // ClassDecision.java:104-127
   dupK: Int = 2, dupThreshold: Double = 0.5,                          // DuplicateBasedSchemaMatching.java:91-93
   voteThreshold: Double = 0.4,                                        // SchemaVotingRule threshold
-  dupResultThreshold: Double = 0.02,                                  // T2KMatch.java:321-323
+  dupResultThreshold: Double = 0.02,                                  // T2KMatch.java:321-323 (class-refinement pass only)
+  dupLoopThreshold: Double = 0.0,                                     // DuplicateBasedSchemaMatching.java:72 default (iterative loop)
   combineWeightDup: Double = 0.8, combineWeightLabel: Double = 0.2,
   combineThreshold: Double = 0.03,                                    // CombineSchemaCorrespondences.java:80-121
   irThreshold: Double = 0.1, keyWeight: Double = 5.0,                 // DataTypeDependentRecordMatchingRule
@@ -89,7 +90,7 @@ object T2KPipeline {
       cfg.dupResultThreshold, Some(surfaceForms)))
     val schemaSeed = dup0.unionByName(keyCorrs.join(
       dup0.select("tableName", "colIdx"), Seq("tableName", "colIdx"), "left_anti"))
-    val classesRefined = Classes.refine(schemaSeed, propClasses)
+    val classesRefined = Classes.refine(schemaSeed, propClasses, classes0)
     // fall back to the top decision class for tables where refinement
     // found nothing; the emitted class decision is argmax-only, while the
     // candidate-filter set additionally admits superclasses (A4).
@@ -111,7 +112,7 @@ object T2KPipeline {
     for (it <- 0 until math.max(cfg.numIterations, 1)) {
       val label = Schema.labelBased(pairs, webCols, kb.props)
       val dup = Schema.duplicateBased(instanceCands, cells, kbCells, pairs,
-        cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupResultThreshold,
+        cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupLoopThreshold,
         Some(surfaceForms))
       val combined = Schema.combine(dup, label, keyCorrs,
         cfg.combineWeightDup, cfg.combineWeightLabel, cfg.combineThreshold)

@@ -30,7 +30,10 @@ object Triples {
                webCols: DataFrame): DataFrame = {
     val webVals = cells.filter(col("kind") === "text" && col("text").isNotNull)
       .select("tableName", "rowNum", "colIdx", "text")
-    val colTypes = webCols.select("tableName", "colIdx", "dtype")
+    val colTypes = webCols
+      .withColumn("yearRange",
+        coalesce((col("maxYear") - col("minYear")).cast("double"), lit(1.0)))
+      .select("tableName", "colIdx", "dtype", "yearRange")
     val kbVals = kbCells.select(col("uri"), col("propId"), col("value").as("kbValue"))
 
     val strSim = Udfs.gsjFast(Normalize.normaliseCol(col("text")),
@@ -38,12 +41,17 @@ object Triples {
     val numSim = Similarity.percentageSimCol(
       graft.util.SafeCast.toDouble(col("text")),
       graft.util.SafeCast.toDouble(col("kbValue")), 0.05)
-    val dateEq = when(graft.util.SafeCast.toDateSafe(col("text")) ===
-      graft.util.SafeCast.toDateSafe(col("kbValue")), 1.0).otherwise(0.0)
+    // Dates: WeightedDateSimilarity(1,3,5) thresholded at 0.9
+    // (T2KMatch.java:676-677) — near-miss dates (same year/month, different
+    // day) still count as LCWA-correct, exact equality does not.
+    val wds = Similarity.weightedDateSimCol(
+      graft.util.SafeCast.toDateSafe(col("text")),
+      graft.util.SafeCast.toDateSafe(col("kbValue")), col("yearRange"))
+    val dateSim = when(wds >= 0.9, wds).otherwise(0.0)
     val lcwaSim =
       when(col("kbValue").isNull, lit(null).cast("double"))
         .when(col("dtype") === Dtype.Numeric, coalesce(numSim, lit(0.0)))
-        .when(col("dtype") === Dtype.Date, coalesce(dateEq, lit(0.0)))
+        .when(col("dtype") === Dtype.Date, coalesce(dateSim, lit(0.0)))
         .otherwise(coalesce(strSim, lit(0.0)))
 
     // Reference semantics (TripleGenerator.java:124-141): a table yields
@@ -62,7 +70,7 @@ object Triples {
       .join(predCorrs.select(col("tableName"), col("colIdx"), col("propId"),
         col("score").as("predicateScore")), Seq("tableName"))
       .join(webVals, Seq("tableName", "rowNum", "colIdx"))
-      .join(broadcast(colTypes), Seq("tableName", "colIdx"), "left")
+      .join(colTypes, Seq("tableName", "colIdx"), "left") // O(#tables) dim: AQE decides
       .join(kbVals, Seq("uri", "propId"), "left")
       .withColumn("lcwaSim", lcwaSim)
     // Closest KB value decides LCWA correctness (multi-valued cells).
