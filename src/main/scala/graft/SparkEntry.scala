@@ -70,9 +70,12 @@ object SparkEntry {
       .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
         col("o_totalprice").as("totalprice"), col("rk"))),
 
-    // anti join (set-difference semantics)
+    // anti join (set-difference semantics): customers with no URGENT
+    // order — every customer has SOME order in this corpus, so the
+    // unfiltered variant proved nothing (0 == 0)
     "q_anti_join" -> ((s, dir) => t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"))),
 
     // running window aggregates (per-entity ordered state)
@@ -170,6 +173,31 @@ object SparkEntry {
         .select(col("rowNum").as("row_id"), col("uri"), col("score"))
     }),
 
+    // B2 fuzzy lookup (edit distance 1, CandidateRefinement parity): every
+    // query key has its 3rd character deleted — the typo'd token still
+    // links through the deletion-1 neighborhood join, scored
+    // greatest(exact, 0.999·fuzzy). Oracle: DuckDB levenshtein join.
+    "q_candidates_fuzzy" -> ((s, dir) => {
+      val pt = partTokens(s, dir)
+      val cells = t(s, dir, "part").filter(col("p_partkey") < 500)
+        .select(lit("part").as("tableName"),
+          col("p_partkey").cast("int").as("rowNum"), lit(0).as("colIdx"),
+          lit("text").as("kind"),
+          concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1000)).as("text"),
+          lit(null).cast("string").as("mediaRef"))
+      val keyCols = s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("part", 0)),
+        StructType(Seq(StructField("tableName", StringType),
+          StructField("colIdx", IntegerType))))
+      val index = pt
+        .select(concat(lit("p"), lpad(col("id").cast("string"), 10, "0")).as("uri"),
+          lit(0).as("classId"),
+          xxhash64(concat_ws(" ", col("toks"))).as("nameId"),
+          col("n").as("nNameTok"), explode(col("toks")).as("token"))
+      Candidates.generate(cells, keyCols, index, 5, 0.5, None, 1)
+        .select(col("rowNum").as("row_id"), col("uri"), col("score"))
+    }),
+
     // class decision distribution (A1-A3) over part brand/mfgr
     "q_class_distribution" -> ((s, dir) => {
       val cands = t(s, dir, "part").select(
@@ -213,11 +241,36 @@ object SparkEntry {
     }),
 
     // exact embedding-cosine near-dup pairs (the dedup baseline; the scale
-    // path is the LSH-bucketed variant)
-    "q_embed_neardup" -> ((s, dir) =>
-      SimSearch.bruteForceNearDup(t(s, dir, "embeddings")
-          .filter(col("vec_id") < 200), "vec_id", "embedding", 0.93)
-        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))),
+    // path is the LSH-bucketed variant). The corpus embeddings are random
+    // (max pairwise cosine ~0.44), so near-dups are PLANTED: each vec_id <
+    // 50 gains a perturbed copy (first component +0.5) at id+10000 — the
+    // 50 (original, copy) pairs are the expected result at 0.99.
+    "q_embed_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.5)),
+            slice(col("embedding"), 2, 100000)).as("embedding"))
+      SimSearch.bruteForceNearDup(base.unionByName(planted),
+          "vec_id", "embedding", 0.85)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // LSH-bucketed embedding near-dup (the 10^12-row path: sign-bit
+    // buckets + exact verify; rows-only — recall vs the brute-force
+    // baseline is asserted in OpsSpec)
+    "q_embed_lsh_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.5)),
+            slice(col("embedding"), 2, 100000)).as("embedding"))
+      SimSearch.cosineNearDupPairs(base.unionByName(planted),
+          "vec_id", "embedding", 0.85, dim = 64)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    }),
 
     // MinHash-LSH near-dup (hash-based: rows-only oracle). Threshold 0.8:
     // the synthetic documents share a tiny vocabulary, so 0.5 would accept
@@ -359,7 +412,8 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey AS custkey, c_name AS name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
 
     "q_window_running" ->
       """SELECT user_id, event_id,
@@ -459,6 +513,32 @@ object SparkEntry {
         |SELECT rid AS row_id, uri, score FROM j
         |QUALIFY row_number() OVER (PARTITION BY rid ORDER BY score DESC, uri) <= 5""".stripMargin,
 
+    "q_candidates_fuzzy" ->
+      """WITH qsrc AS (SELECT p_partkey AS id,
+        |  substr(p_name, 1, 2) || substr(p_name, 4) AS name
+        | FROM part WHERE p_partkey < 500),
+        |q AS (SELECT id,
+        |  list_distinct(list_filter(string_split(lower(regexp_replace(name, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS toks
+        | FROM qsrc),
+        |s AS (SELECT p_partkey AS id,
+        |  list_distinct(list_filter(string_split(lower(regexp_replace(p_name, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS toks
+        | FROM part),
+        |qt AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM q),
+        |it AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
+        |p AS (SELECT a.id AS rid, b.id AS uid, any_value(a.n) AS na,
+        |  any_value(b.n) AS nb,
+        |  count(DISTINCT CASE WHEN a.tok = b.tok THEN a.tok END) AS shared,
+        |  count(DISTINCT a.tok) AS sharedf
+        | FROM qt a JOIN it b ON a.tok = b.tok
+        |   OR (greatest(length(a.tok), length(b.tok)) >= 4 AND levenshtein(a.tok, b.tok) <= 1)
+        | GROUP BY 1, 2),
+        |j AS (SELECT rid, 'p' || lpad(CAST(uid AS VARCHAR), 10, '0') AS uri,
+        |  greatest(CAST(shared AS DOUBLE) / (na + nb - shared),
+        |    CAST(sharedf AS DOUBLE) / (na + nb - sharedf) * 0.999) AS score
+        | FROM p)
+        |SELECT rid AS row_id, uri, score FROM j WHERE score >= 0.5
+        |QUALIFY row_number() OVER (PARTITION BY rid ORDER BY score DESC, uri) <= 5""".stripMargin,
+
     "q_class_distribution" ->
       """WITH c AS (SELECT p_brand AS table_name,
         |  CAST(p_size % 5 AS INT) AS class_id, count(*) AS cnt
@@ -496,11 +576,15 @@ object SparkEntry {
         |st AS (SELECT tn, ci, count(*) AS n,
         |  sum(CASE WHEN regexp_matches(v, '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 ELSE 0 END) AS nnum,
         |  sum(CASE WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}([ T].*)?$|^(18|19|20|21)\d{2}$') THEN 1 ELSE 0 END) AS ndate,
-        |  count(DISTINCT v) * 1.0 / count(v) AS uniq
+        |  count(DISTINCT v) * 1.0 / count(v) AS uniq,
+        |  avg(length(v)) AS avg_len,
+        |  avg(CASE WHEN v IS NOT NULL AND length(v) > 0
+        |    THEN CAST(length(regexp_replace(v, '[^0-9]', '', 'g')) AS DOUBLE) / length(v) END) AS digit_frac
         | FROM cols GROUP BY 1, 2),
         |strs AS (SELECT * FROM st WHERE NOT (ndate * 2 > n) AND NOT (nnum * 2 > n))
         |SELECT tn AS table_name, ci AS col_idx FROM strs
-        |QUALIFY row_number() OVER (PARTITION BY tn ORDER BY uniq DESC, ci) = 1""".stripMargin,
+        |QUALIFY row_number() OVER (PARTITION BY tn ORDER BY
+        |  (coalesce(avg_len, 0) < 4), uniq * (1 - coalesce(digit_frac, 0)) DESC, ci) = 1""".stripMargin,
 
     "q_canonicalize" ->
       """SELECT p_partkey AS id,
@@ -528,14 +612,18 @@ object SparkEntry {
         |WHERE p_brand IN (SELECT p_brand FROM keep) GROUP BY 1""".stripMargin,
 
     "q_embed_neardup" ->
-      """WITH v AS (SELECT vec_id, embedding,
-        |  sqrt((SELECT sum(x * x) FROM (SELECT unnest(embedding) AS x) z)) AS nrm
-        | FROM embeddings WHERE vec_id < 200),
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 200),
+        |planted AS (SELECT vec_id + 10000 AS vec_id,
+        |  list_prepend(e[1] + 0.5, e[2:]) AS e FROM base WHERE vec_id < 50),
+        |v AS (SELECT vec_id, e,
+        |  sqrt((SELECT sum(x * x) FROM (SELECT unnest(e) AS x) z)) AS nrm
+        | FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)),
         |s AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  (SELECT sum(x * y) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z)
+        |  (SELECT sum(x * y) FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y) z)
         |    / (a.nrm * b.nrm) AS cosine
         | FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT id1, id2, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.93""".stripMargin,
+        |SELECT id1, id2, round(cosine, 6) AS cosine FROM s WHERE cosine >= 0.85""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH n AS (SELECT vec_id, embedding,

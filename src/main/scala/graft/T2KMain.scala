@@ -65,16 +65,33 @@ object T2KMain {
     result.classCorrs.write.mode("overwrite").parquet(s"$out/class_decision")
     GraphSink.write(result.triples, s"$out/triples")
 
+    // The reference prunes gold standards to the LOADED web tables
+    // (T2KMatch.java:265-273) — gs rows for tables not in --web would
+    // otherwise deflate recall (gs_class covers 233 tables, the shipped
+    // dir has 116).
+    val loadedTables = docs
+      .select(substring_index(col("doc_id"), "#", 1).as("tableName")).distinct()
+    def pruned(gs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      gs.withColumn("tableName", split(col("leftId"), "~").getItem(0))
+        .join(loadedTables, Seq("tableName"), "left_semi").drop("tableName")
+
     opts.get("gs-instance").foreach { p =>
-      val gs = Loaders.loadGoldStandard(spark, p).filter(col("isPositive"))
+      val gs = pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
       val pred = result.instanceCorrs.select(
         concat(col("tableName"), lit("~Row"), col("rowNum")).as("leftId"),
         col("uri").as("rightId"))
       val prf = Evaluator.evaluate(pred, gs, Seq("leftId", "rightId"))
       println(f"instance P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f")
     }
+    opts.get("gs-class").foreach { p =>
+      val gs = pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
+      val pred = result.classCorrs.select(
+        col("tableName").as("leftId"), col("className").as("rightId"))
+      val prf = Evaluator.evaluate(pred, gs, Seq("leftId", "rightId"))
+      println(f"class P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f")
+    }
     opts.get("gs-property").foreach { p =>
-      val gs = Loaders.loadGoldStandard(spark, p).filter(col("isPositive"))
+      val gs = pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
       val pred = result.schemaCorrs
         .join(kb.props.select("propId", "propUri"), "propId")
         .select(concat(col("tableName"), lit("~Col"), col("colIdx")).as("leftId"),
@@ -82,6 +99,64 @@ object T2KMain {
       val prf = Evaluator.evaluate(pred, gs, Seq("leftId", "rightId"))
       println(f"property P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f")
     }
+    // --- similarity-flooding alternative schema matchers (F2/F3) ---------
+    // --sf-matcher label|label-kb2wb|value|value-string: run the SF seed
+    // matcher over the pipeline's class decision, fixpoint + stable 1:1,
+    // write corrs, evaluate vs --gs-property when present.
+    opts.get("sf-matcher").foreach { mode =>
+      import graft.onetoone.SFMatchers
+      val cells = graft.model.SpanCodec.cells(docs)
+      val webCols = graft.model.SpanCodec.columns(docs)
+      val classes = result.classCorrs.select("tableName", "classId")
+      val kbPropsByClass = kb.propsByClass
+      val seeds = mode match {
+        case "label" => SFMatchers.labelSeeds(webCols, kb.props, kbPropsByClass, classes)
+        case "label-kb2wb" => SFMatchers.labelSeeds(webCols, kb.props, kbPropsByClass, classes, "kb2wb")
+        case "value" => SFMatchers.valueSeeds(result.instanceCorrs, cells, kb.cells,
+          webCols, Some(sf), typed = true)
+        case "value-string" => SFMatchers.valueSeeds(result.instanceCorrs, cells, kb.cells,
+          webCols, Some(sf), typed = false)
+        case other => throw new IllegalArgumentException(s"sf-matcher: $other")
+      }
+      val corrs = SFMatchers.run(seeds, "A", 0.10, "stable")
+      corrs.write.mode("overwrite").parquet(s"$out/sf_${mode}_correspondences")
+      opts.get("gs-property").foreach { p =>
+        val swap = mode.endsWith("kb2wb")
+        val pred = corrs.select(
+          concat(split(col("groupKey"), "\\|").getItem(0), lit("~Col"),
+            (if (swap) col("right") else col("left"))).as("leftId"),
+          (if (swap) col("left") else col("right")).as("propId"))
+          .join(kb.props.select("propId", "propUri"), "propId")
+          .select(col("leftId"), col("propUri").as("rightId"))
+        val gs = pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
+        val prf = Evaluator.evaluate(pred, gs, Seq("leftId", "rightId"))
+        println(f"sf-$mode property P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f")
+      }
+    }
+
+    // --- F5 sweep: formulas × minSim × 1:1 filters over the pipeline's
+    // schema-corr matrix (T2KMatch.java:469-651), one P/R row per config --
+    opts.get("sf-sweep").foreach { sweepOut =>
+      import graft.onetoone.SFMatchers
+      val classes = result.classCorrs.select("tableName", "classId")
+      val seeds = result.schemaCorrs.join(classes, "tableName")
+        .select(concat(col("tableName"), lit("|"), col("classId")).as("groupKey"),
+          col("colIdx").as("left"), col("propId").as("right"), col("score"))
+      val gold = opts.get("gs-property").map { p =>
+        pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
+          .select(split(col("leftId"), "~Col").getItem(0).as("tableName"),
+            split(col("leftId"), "~Col").getItem(1).cast("int").as("left"),
+            col("rightId").as("propUri"))
+          .join(kb.props.select(col("propId").as("right"), col("propUri")), "propUri")
+          .join(classes, "tableName")
+          .select(concat(col("tableName"), lit("|"), col("classId")).as("groupKey"),
+            col("left"), col("right"))
+      }.getOrElse(seeds.limit(0).select("groupKey", "left", "right"))
+      val table = SFMatchers.sweep(seeds, gold)
+      table.coalesce(1).write.mode("overwrite").option("header", "true").csv(sweepOut)
+      table.orderBy(col("f1").desc).show(50, truncate = false)
+    }
+
     println(s"wrote correspondences + triples to $out")
     spark.stop()
   }

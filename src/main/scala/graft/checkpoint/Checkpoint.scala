@@ -40,7 +40,12 @@ object CacheCheckpointer extends Checkpointer {
   * Right default for local/interactive runs; ParquetCheckpointer gives the
   * same truncation plus durability/resume for cluster runs. */
 object LocalCheckpointer extends Checkpointer {
-  def apply(name: String, df: => DataFrame): DataFrame = df.localCheckpoint()
+  // eager = false: lineage is truncated at the stage's FIRST action instead
+  // of a dedicated blocking job per stage — the round-1 pipeline ran ~8
+  // serial barrier jobs before any real work, which capped scaling
+  // efficiency (each barrier is a full-cluster sync on mostly-idle tasks).
+  def apply(name: String, df: => DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
 }
 
 /** LocalCheckpointer + per-stage wall-time on stderr (bench profiling). */
@@ -67,9 +72,20 @@ class ParquetCheckpointer(spark: SparkSession, dir: String) extends Checkpointer
       val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(path)
       val back = spark.read.parquet(path)
-      val perPart = back.groupBy(spark_partition_id().as("pid"))
-        .count().orderBy(col("pid"))
-        .collect().map(r => r.getLong(1))
+      // per-partition lineage from parquet FOOTERS (metadata only) — the
+      // round-1 groupBy(spark_partition_id).count re-scanned every stage's
+      // data a second time, doubling checkpoint I/O
+      val conf = spark.sessionState.newHadoopConf()
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(conf)
+      val perPart = fs.listStatus(hPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try rd.getRecordCount finally rd.close()
+        }
       val wallMs = (System.nanoTime() - t0) / 1000000
       val line = s"""{"stage":"${name}","rows":${perPart.sum},""" +
         s""""partitions":${perPart.length},"perPartitionRows":[${perPart.mkString(",")}],""" +

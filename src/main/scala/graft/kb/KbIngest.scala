@@ -40,7 +40,8 @@ object KbIngest {
 
   case class Ingested(cells: DataFrame, rows: DataFrame,
                       props: DataFrame, classes: DataFrame,
-                      classDepth: Map[String, Int])
+                      classDepth: Map[String, Int],
+                      propsByClass: DataFrame)
 
   private val datePat = graft.util.SafeCast.datePat
   private val numPat = graft.util.SafeCast.numPat
@@ -59,48 +60,71 @@ object KbIngest {
   def fromLodTables(spark: SparkSession, tables: Seq[LodTable],
                     hierarchy: Seq[(String, String)]): Ingested = {
     import spark.implicits._
-    // Long form: one record per (className, colIdx, propUri, uri, rawValue).
+    // Long form: one record per (className, propUri, uri, rawValue);
+    // duplicate-propUri collapse via the shared label-twin rule
+    // (LodParse.keepColumns, KnowledgeBase.java:159-175).
     val long = tables
       .filter(t => t.propUris.lift(1).contains(Dtype.RdfsLabelUri))
       .flatMap { t =>
-        // duplicate-propUri collapse: keep the LAST column for each propUri
-        // (the reference prefers the _label twin, which follows the raw
-        // object-property column in the dumps).
-        val keepCols = t.propUris.zipWithIndex.drop(1)
-          .groupBy(_._1).map(_._2.last._2).toSet
-        for {
+        val keepCols = LodParse.keepColumns(t.headers, t.propUris)
+        val schemaRows = (1 until t.propUris.length).filter(keepCols).map(c =>
+          (t.className, t.propUris(c), t.headers(c),
+            t.xsdTypes.lift(c).orNull, null: String, null: String))
+        val dataRows = for {
           row <- t.rows
           c <- 1 until t.propUris.length if keepCols(c)
           v = row.lift(c).orNull if v != null && v != "NULL"
-        } yield (t.className, t.propUris(c), t.headers(c), row.head, v)
-      }.toDF("className", "propUri", "propHeader", "uri", "rawValue")
+        } yield (t.className, t.propUris(c), t.headers(c),
+          t.xsdTypes.lift(c).orNull, row.head, v)
+        schemaRows ++ dataRows
+      }.toDF("className", "propUri", "propHeader", "xsdType", "uri", "rawValue")
     fromLongForm(spark, long, hierarchy)
   }
 
   /** Core ingest over the long form — fully distributed. */
-  def fromLongForm(spark: SparkSession, long0: DataFrame,
+  def fromLongForm(spark: SparkSession, longIn: DataFrame,
                    hierarchy: Seq[(String, String)]): Ingested = {
     import spark.implicits._
     val depthMap = depths(hierarchy)
     val depthUdf = udf((c: String) => depthMap.getOrElse(c, 0))
+    // producers without declared types (synthetic corpora) omit xsdType
+    val long0 =
+      if (longIn.columns.contains("xsdType")) longIn
+      else longIn.withColumn("xsdType", lit(null).cast("string"))
+
+    // The per-class schema comes from the header block (schema marker rows,
+    // uri null) UNION the data rows' metadata: a property exists even when
+    // every dump value is NULL (reference KnowledgeBase.java:195-223).
+    val schemaDim = long0
+      .select("className", "propUri", "propHeader", "xsdType").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Multi-value "{a|b}" split. Persisted: the prop-dim aggregation, the
     // dedup window and the class-size count all consume it — without the
     // persist each driver collect below re-runs the full upstream scan.
     val long = long0
+      .filter(col("uri").isNotNull)
       .withColumn("value", explode(split(regexp_replace(col("rawValue"), "[{}]", ""), "\\|")))
       .filter(col("value") =!= "" && col("value") =!= "NULL")
       .drop("rawValue")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Global property ids: deterministic (sorted URI), rdfs:label -> 0.
-    val propDim = long.groupBy("propUri")
-      .agg(first("propHeader").as("header"),
-        count(when(col("value").rlike(numPat), 1)).as("nNum"),
+    // dtype: the DECLARED type from the dump's 3rd header row wins (the
+    // reference parses these, LodCsvTableParser via KnowledgeBase.java:127);
+    // value-majority inference is the fallback for unknown/absent tokens.
+    val xsdDtypeUdf = udf((t: String) => LodParse.xsdToDtype(t))
+    val valueStats = long.groupBy("propUri")
+      .agg(count(when(col("value").rlike(numPat), 1)).as("nNum"),
         count(when(col("value").rlike(datePat), 1)).as("nDate"),
         count(lit(1)).as("n"))
+    val propDim = schemaDim.groupBy("propUri")
+      .agg(first("propHeader", ignoreNulls = true).as("header"),
+        first(xsdDtypeUdf(col("xsdType")), ignoreNulls = true).as("declared"))
+      .join(valueStats, Seq("propUri"), "left")
       .withColumn("dtype",
         when(col("propUri") === Dtype.RdfsLabelUri, Dtype.String)
+          .when(col("declared").isNotNull, col("declared"))
           .when(col("nDate") * 2 > col("n"), Dtype.Date)
           .when(col("nNum") * 2 > col("n"), Dtype.Numeric)
           .otherwise(Dtype.String))
@@ -118,18 +142,23 @@ object KbIngest {
     val props = ids.toDF("propUri", "header", "dtype", "propId")
       .select("propId", "propUri", "header", "dtype")
 
-    // Most-specific-class dedup: keep each uri only under its deepest class.
+    // Most-specific-class dedup: keep each uri only under its deepest
+    // class. For unrelated classes tying on depth the reference's
+    // last-loaded file wins (KnowledgeBase.java:225-256 replaces the
+    // record unless the current class is an ancestor of the kept one) —
+    // files load alphabetically, so the tie-break is className DESC.
     val ranked = long
       .withColumn("classDepth", depthUdf(col("className")))
       .withColumn("keepClass", first(col("className")).over(
         Window.partitionBy(col("uri"))
-          .orderBy(col("classDepth").desc, col("className"))))
+          .orderBy(col("classDepth").desc, col("className").desc)))
       .filter(col("className") === col("keepClass")).drop("keepClass", "classDepth")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Class ids: deterministic by name; superclasses with no data file are
-    // still registered (KnowledgeBase.java:272-289).
-    val dataClasses = ranked.select("className").distinct().as[String].collect().toSet
+    // still registered (KnowledgeBase.java:272-289). Participation comes
+    // from the header block (schema rows), not from data presence.
+    val dataClasses = schemaDim.select("className").distinct().as[String].collect().toSet
     val allClasses = (dataClasses ++ depthMap.keySet).toSeq.sorted
     val classIdMap = allClasses.zipWithIndex.toMap
     val parent = hierarchy.toMap
@@ -141,7 +170,11 @@ object KbIngest {
       .select("classId", "className", "uri", "propId", "value", "dtype")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sizes = cells.filter(col("propId") === RdfsLabelPropId)
+    // Class sizes for the popularity prior use the PRE-DEDUP table sizes
+    // (reference sizePerTable.put(tblIdx, tDBp.getSize()),
+    // KnowledgeBase.java:257): an entity counts for every class file it
+    // appears in.
+    val sizes = long.filter(col("propUri") === Dtype.RdfsLabelUri)
       .groupBy("className").agg(countDistinct("uri").as("size"))
       .as[(String, Long)].collect().toMap
     val maxSize = if (sizes.isEmpty) 1L else math.max(sizes.values.max, 1L)
@@ -154,6 +187,13 @@ object KbIngest {
     val rows = cells.groupBy("classId", "className", "uri")
       .agg(collect_list(struct(col("propId"), col("value"), col("dtype"))).as("cells"))
 
-    Ingested(cells, rows, props, classes, depthMap)
+    // Per-class property ownership from the header block — includes
+    // valueless properties, which value-derived dims would silently lose.
+    val propsByClass = schemaDim.select("className", "propUri")
+      .join(props.select("propUri", "propId", "dtype"), "propUri")
+      .withColumn("classId", classIdUdf(col("className")))
+      .select("classId", "propId", "dtype").distinct()
+
+    Ingested(cells, rows, props, classes, depthMap, propsByClass)
   }
 }

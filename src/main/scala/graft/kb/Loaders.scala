@@ -26,39 +26,29 @@ object Loaders {
   private def stripExt(name: String): String =
     name.replaceAll("\\.csv(\\.gz)?$", "")
 
-  /** One LOD class file -> long form (className, propUri, propHeader, uri,
-    * rawValue); None if col 1 is not rdfs:label. */
-  private def lodFileLongForm(spark: SparkSession, path: String,
-                              className: String): Option[DataFrame] = {
-    val head = spark.read.option("quote", "\"").csv(path).limit(4).collect()
-    if (head.length < 4) return None
-    val headers = head(0).toSeq.map(v => Option(v).map(_.toString).orNull)
-    val propUris = head(1).toSeq.map(v => Option(v).map(_.toString).orNull)
-    if (!propUris.lift(1).contains(Dtype.RdfsLabelUri)) return None
-    // duplicate-propUri collapse: LAST column per propUri wins (label twin)
-    val keepCols = propUris.zipWithIndex.drop(1)
-      .groupBy(_._1).map(_._2.last._2).toSet
-    val df = spark.read.option("quote", "\"").csv(path)
-      .filter(col("_c0").startsWith("http") && col("_c0") =!= OwlThing)
-    val perCol = (1 until propUris.length).filter(keepCols).map { c =>
-      df.select(lit(className).as("className"),
-        lit(propUris(c)).as("propUri"),
-        lit(headers(c)).as("propHeader"),
-        col("_c0").as("uri"), col(s"_c$c").as("rawValue"))
-        .filter(col("rawValue").isNotNull && col("rawValue") =!= "NULL")
-    }
-    perCol.reduceOption(_ unionByName _)
+  /** File name (no directories) from an input_file_name() URL. */
+  private[kb] def fileNameOf(path: String): String = {
+    val raw = path.substring(path.lastIndexOf('/') + 1)
+    java.net.URLDecoder.decode(raw, "UTF-8")
   }
 
-  /** S2: directory of LOD class CSVs -> ingested KB. */
+  /**
+   * S2: directory of LOD class CSVs (optionally gzipped) -> ingested KB.
+   * ONE distributed read: wholetext rows (one per file — the gz dumps are
+   * unsplittable, so a file is the natural task grain) parsed by the pure
+   * [[LodParse]] kernel. No driver loop, no per-file union branches in the
+   * plan (the round-1 per-column union built ~1600-branch logical plans).
+   */
   def loadLodCsvDir(spark: SparkSession, dir: String,
                     hierarchy: Seq[(String, String)]): KbIngest.Ingested = {
-    val fs = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.matches(".*\\.csv(\\.gz)?$")).sortBy(_.getName)
-    val parts = fs.flatMap(f =>
-      lodFileLongForm(spark, f.getAbsolutePath, stripExt(f.getName)))
-    require(parts.nonEmpty, s"no LOD class tables found under $dir")
-    KbIngest.fromLongForm(spark, parts.reduce(_ unionByName _), hierarchy)
+    import spark.implicits._
+    val long = spark.read.option("wholetext", "true").text(dir)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (path, content) =>
+        LodParse.longForm(stripExt(fileNameOf(path)), content) }
+      .toDF()
+    KbIngest.fromLongForm(spark, long, hierarchy)
   }
 
   /** S3: TSV class<TAB>superclass (values may be quoted). */
@@ -97,61 +87,45 @@ object Loaders {
       .getOrElse(Seq.empty[(String, String)].toDF("label", "surfaceForm"))
   }
 
-  /** S8: gold standard CSV (leftId, rightId, true/false). */
+  /** S8: gold standard CSV (leftId, rightId, true/false). Case-insensitive
+    * flag (the shipped gold standards mix "true" and "TRUE"); BOM-stripped
+    * first field (gs_class.csv starts with one). */
   def loadGoldStandard(spark: SparkSession, path: String): DataFrame =
-    spark.read.csv(path).select(col("_c0").as("leftId"),
+    spark.read.csv(path).select(
+      regexp_replace(col("_c0"), "^\\uFEFF", "").as("leftId"),
       col("_c1").as("rightId"),
-      coalesce(col("_c2") === "true", lit(true)).as("isPositive"))
+      coalesce(lower(col("_c2")) === "true", lit(true)).as("isPositive"))
 
   /**
    * S1 file surface: a directory of web-table CSVs (first row = header)
-   * re-encoded as the interleaved docs table. Small per-file headers are
-   * read on the driver; tables themselves stream through the CSV reader.
+   * re-encoded as the interleaved docs table. Distributed: one wholetext
+   * row per file (web tables are small; quoted newlines survive the
+   * whole-content parser), data rows numbered from 0 matching the
+   * reference's "<file>~Row<k>" gold-standard ids. "NULL"/empty cells
+   * become null text spans (WInte.r's parsers null them at parse time).
    */
   def loadWebTablesDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
-    val docs = files.toSeq.flatMap { f =>
-      val rows = scala.io.Source.fromFile(f, "UTF-8").getLines()
-        .map(parseCsvLine).toVector
-      if (rows.isEmpty) Nil
-      else {
-        val header = Doc(s"${f.getName}#h",
-          rows.head.zipWithIndex.map { case (h, i) => Span("header", h, null, i) })
-        val data = rows.tail.zipWithIndex.map { case (r, k) =>
-          Doc(s"${f.getName}#r$k",
-            r.zipWithIndex.map { case (v, i) =>
-              Span("text", if (v == null || v.isEmpty) null else v, null, i)
-            })
+    spark.read.option("wholetext", "true").text(dir)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (path, content) =>
+        val name = fileNameOf(path)
+        val rows = LodParse.parseCsv(content).toVector
+        if (rows.isEmpty) Nil
+        else {
+          val header = Doc(s"$name#h",
+            rows.head.toSeq.zipWithIndex.map { case (h, i) => Span("header", h, null, i) })
+          val data = rows.tail.zipWithIndex.map { case (r, k) =>
+            Doc(s"$name#r$k",
+              r.toSeq.zipWithIndex.map { case (v, i) =>
+                val t = if (v == null || v.isEmpty || v.equalsIgnoreCase("null")) null else v
+                Span("text", t, null, i)
+              })
+          }
+          header +: data
         }
-        header +: data
       }
-    }
-    docs.toDS().toDF()
-  }
-
-  /** Minimal RFC-4180-ish line parser (quotes + commas). Driver-side only,
-    * used for the small test-corpus files. */
-  private[kb] def parseCsvLine(line: String): Seq[String] = {
-    val out = collection.mutable.ArrayBuffer[String]()
-    val sb = new StringBuilder
-    var inQ = false
-    var i = 0
-    while (i < line.length) {
-      val c = line.charAt(i)
-      if (inQ) {
-        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { sb += '"'; i += 1 }
-        else if (c == '"') inQ = false
-        else sb += c
-      } else c match {
-        case '"' => inQ = true
-        case ',' => out += sb.toString; sb.clear()
-        case _ => sb += c
-      }
-      i += 1
-    }
-    out += sb.toString
-    out.toSeq
+      .toDF()
   }
 }

@@ -76,7 +76,11 @@ object SpanCodec {
       min(when(col("isDate"), year(col("dateVal")))).as("minYear"),
       max(when(col("isDate"), year(col("dateVal")))).as("maxYear"),
       (countDistinct(col("text")).cast(DoubleType) /
-        greatest(count(col("text")), lit(1)).cast(DoubleType)).as("uniqueness"))
+        greatest(count(col("text")), lit(1)).cast(DoubleType)).as("uniqueness"),
+      avg(length(col("text"))).as("avgLen"),
+      avg(when(col("text").isNotNull && length(col("text")) > 0,
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
+          length(col("text")))).as("digitFrac"))
     val withType = agg.withColumn("dtype",
       when(col("nMedia") * 2 > col("nAll"), lit("media"))
         .when(col("nDate") * 2 > col("nText"), lit(Dtype.Date))
@@ -84,7 +88,8 @@ object SpanCodec {
         .otherwise(lit(Dtype.String)))
     withType.join(headers(docs), Seq("tableName", "colIdx"), "left")
       .select(col("tableName"), col("colIdx"), col("header"), col("dtype"),
-        col("kurtosis"), col("minYear"), col("maxYear"), col("uniqueness"))
+        col("kurtosis"), col("minYear"), col("maxYear"), col("uniqueness"),
+        col("avgLen"), col("digitFrac"))
   }
 
   /** Re-encode cells back into the docs shape (for round-trip testing and

@@ -58,29 +58,46 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature: for permutation i, min over tokens of
-    * xxhash64(token, i). Returns (docId, array<long> signature). */
+  /** MinHash signature. Each token is string-hashed ONCE (xxhash64); the
+    * `numHashes` permutations derive from that 8-byte value
+    * (xxhash64(tokenHash, i)) — ~10× kernel reduction vs re-hashing the
+    * token string per permutation. Returns (docId, array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64): DataFrame = {
     val sets = tokenSets(docs, idCol, textCol)
+    val hashed = sets.withColumn("hs", transform(col("toks"), t => xxhash64(t)))
     val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("toks"), t => xxhash64(t, i))))
-    sets.select(col("docId"), sig.as("signature"))
+      i => array_min(transform(col("hs"), h => xxhash64(h, i))))
+    hashed.select(col("docId"), sig.as("signature"))
+  }
+
+  /** Drop LSH buckets holding more than `cap` members before a bucket
+    * self-join: one degenerate bucket (all-identical band, boilerplate
+    * shingles) otherwise becomes a quadratic task. A true near-dup pair
+    * collides in SOME other band with high probability; the cap trades a
+    * bounded recall sliver for a bounded worst case. */
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val sizes = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= cap).drop("_bsz")
+    df.join(sizes, keys)
   }
 
   /**
    * MinHash-LSH candidate pairs: band the signature, bucket-join on
    * (band, bandHash), verify candidates with exact Jaccard.
    * numHashes = bands × rowsPerBand. S-curve threshold ~ (1/bands)^(1/rows).
+   * `bucketCap` bounds the per-bucket join fan-out (see [[capBuckets]]).
    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                 threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                 bucketCap: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
     val bandCols = array((0 until bands).map(b =>
       xxhash64(concat_ws("_", slice(col("signature"), b * rows + 1, rows)))): _*)
-    val banded = sigs.select(col("docId"),
-      posexplode(bandCols).as(Seq("band", "bucket")))
+    val banded = capBuckets(sigs.select(col("docId"),
+      posexplode(bandCols).as(Seq("band", "bucket"))), Seq("band", "bucket"), bucketCap)
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "bucket"))
       .filter(col("x.docId") < col("y.docId"))
       .select(col("x.docId").as("id1"), col("y.docId").as("id2")).distinct()
@@ -130,12 +147,12 @@ object Dedup {
   /** SimHash near-dup candidates: equal 16-bit blocks (4 tables) -> pairs
     * with Hamming distance <= maxHamming verified via bit_count. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
     val fps = simhash(docs, idCol, textCol)
     val blockCols = array((0 until 4).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)
-    val blocks = fps.select(col("docId"), col("simhash"),
-      posexplode(blockCols).as(Seq("blk", "key")))
+    val blocks = capBuckets(fps.select(col("docId"), col("simhash"),
+      posexplode(blockCols).as(Seq("blk", "key"))), Seq("blk", "key"), bucketCap)
     val cand = blocks.alias("x").join(blocks.alias("y"), Seq("blk", "key"))
       .filter(col("x.docId") < col("y.docId"))
       .select(col("x.docId").as("id1"), col("x.simhash").as("f1"),

@@ -47,23 +47,43 @@ object SimSearch {
       .select(col("qid"), col("cid"), col("cosine"), col("rk"))
   }
 
+  /** Deterministic hyperplane component in [-1, 1) from (table, bit, i):
+    * splitmix64 finaliser — computed ONCE on the driver and shipped as an
+    * array literal, so the per-row cost is a plain dot product (the
+    * round-1 version evaluated tables × bits × dim xxhash64 calls per
+    * row — 6144 hashes at dim 64). */
+  private def planeComponent(table: Int, bit: Int, i: Int): Double = {
+    var z = (table.toLong * 1000003L + bit.toLong) * 0x9E3779B97F4A7C15L + i.toLong
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
   /** Sign-bit LSH bucket id for one projection table: bits = sign of dot
-    * with `nBits` pseudo-random hyperplanes derived from xxhash64 seeds. */
+    * with `nBits` precomputed pseudo-random hyperplane literals. */
   private def signBucket(vec: Column, table: Int, nBits: Int, dim: Int): Column = {
     val bits: Seq[Column] = (0 until nBits).map { b =>
-      // hyperplane component h(i) in [-1,1): deterministic from (table,b,i)
-      val proj = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
-        (x, i) => x * (pmod(xxhash64(lit(table * 1000 + b), i), lit(2000001L)).cast("double") / 1000000.0d - 1.0d)),
+      val plane = Array.tabulate(dim)(i => planeComponent(table, b, i))
+      val proj = aggregate(zip_with(vec, typedLit(plane), (x, h) => x * h),
         lit(0.0d), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Drop buckets above `cap` members (same rationale as Dedup.capBuckets:
+    * a degenerate bucket turns the bucket join quadratic). */
+  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val sizes = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap).drop("_bsz")
+    df.join(sizes, keys)
+  }
+
   /** ANN via multi-table sign-bit LSH + exact re-rank. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 8, nBits: Int = 12,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, bucketCap: Int = 100000): DataFrame = {
     def bucketed(df: DataFrame, side: String): DataFrame = {
       val base = df.select(col(idCol).as(s"${side}id"), col(vecCol).as(s"${side}v"))
       val buckets = array((0 until tables).map(t =>
@@ -73,7 +93,7 @@ object SimSearch {
           col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
     }
     val qb = bucketed(queries, "q")
-    val cb = bucketed(corpus, "c")
+    val cb = capBuckets(bucketed(corpus, "c"), Seq("tab", "bucket"), bucketCap)
     val cand = qb.join(cb, Seq("tab", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qv", "cid", "cv").distinct()
@@ -101,12 +121,13 @@ object SimSearch {
     * via the same LSH bucketing — the embedding leg of Dedup. */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, tables: Int = 8, nBits: Int = 12,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, bucketCap: Int = 100000): DataFrame = {
     val base = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    val buckets = base.select(col("vid"), col("vv"),
+    val buckets = capBuckets(base.select(col("vid"), col("vv"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tab"), signBucket(col("vv"), t, nBits, dim).as("bucket"))): _*)).as("tb"))
-      .select(col("vid"), col("vv"), col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
+      .select(col("vid"), col("vv"), col("tb.tab").as("tab"), col("tb.bucket").as("bucket")),
+      Seq("tab", "bucket"), bucketCap)
     val cand = buckets.alias("x").join(buckets.alias("y"), Seq("tab", "bucket"))
       .filter(col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("id1"), col("x.vv").as("v1"),

@@ -44,35 +44,100 @@ object Candidates {
         explode(col("keyTokens")).as("token"))
   }
 
+  /** Single-character deletions of a token (symdelete): two tokens are
+    * within edit distance 1 iff (self ∪ deletions) intersect. Tokens
+    * shorter than `minLen` are not expanded (they only match exactly),
+    * bounding the fan-out the way Lucene's fuzzy rewrite effectively does
+    * on short terms. Pure column expression (stays in codegen). */
+  private def deletions(token: org.apache.spark.sql.Column,
+                        minLen: Int = 4): org.apache.spark.sql.Column =
+    when(length(token) < minLen, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(0), length(token) - 1),
+        i => concat(token.substr(lit(1), i),
+          token.substr(i + 2, length(token))))))
+
   /**
    * Generate scored candidates:
    * (tableName, rowNum, uri, classId, score) with score = max over entity
    * names of tokenJaccard(keyValue, name); top `numCandidates` per row with
    * score >= simThreshold. `classesPerTable` (tableName, classId) filters
    * the index side when present (refinement pass).
+   *
+   * `maxEditDistance = 1` (refinement parity: CandidateRefinement.java:57-60,
+   * per-token `~1` fuzziness KeyIndexLookup.java:112-145) joins key tokens
+   * to index tokens through deletion-1 neighborhoods and scores
+   * greatest(exactJaccard, 0.999 × fuzzyJaccard): the reference retrieves
+   * fuzzily and re-scores with exact WebJaccard, so exact matches must
+   * always outrank typo matches, but a typo'd key cell whose tokens are
+   * all within edit distance 1 still clears the refinement threshold.
    */
   def generate(cells: DataFrame, keyCols: DataFrame, candidateTokens: DataFrame,
                numCandidates: Int, simThreshold: Double,
-               classesPerTable: Option[DataFrame] = None): DataFrame = {
+               classesPerTable: Option[DataFrame] = None,
+               maxEditDistance: Int = 0, variantDfCap: Long = 2000): DataFrame = {
     val kt = keyTokens(cells, keyCols)
-    val hits0 = kt.join(candidateTokens, "token")
-    // No broadcast hint: classesPerTable is O(#tables) rows — at millions
-    // of tables that's a multi-GB driver broadcast. AQE decides; the
-    // left-semi is fine as a shuffle.
-    val hits = classesPerTable match {
-      case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
-        Seq("tableName", "classId"), "left_semi")
-      case None => hits0
-    }
-    // Exact Jaccard per (row, candidate name) from shared-token counts.
-    // Names are pre-hashed 64-bit ids (CandidateIndex) — the aggregation
-    // only needs name identity, and hashed keys keep shuffle rows narrow.
-    val perName = hits
-      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
-        col("nameId"), col("nNameTok"), col("nKeyTok"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+    val perName =
+      if (maxEditDistance <= 0) {
+        val hits0 = kt.join(candidateTokens, "token")
+        // No broadcast hint: classesPerTable is O(#tables) rows — at
+        // millions of tables that's a multi-GB driver broadcast. AQE
+        // decides; the left-semi is fine as a shuffle.
+        val hits = classesPerTable match {
+          case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
+            Seq("tableName", "classId"), "left_semi")
+          case None => hits0
+        }
+        // Exact Jaccard per (row, candidate name) from shared-token counts.
+        // Names are pre-hashed 64-bit ids (CandidateIndex) — the
+        // aggregation only needs name identity, and hashed keys keep
+        // shuffle rows narrow.
+        hits
+          .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+            col("nameId"), col("nNameTok"), col("nKeyTok"))
+          .agg(count(lit(1)).as("shared"))
+          .withColumn("jaccard", col("shared").cast("double") /
+            (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+      } else {
+        // key side (small): self + deletion variants
+        val ktv = kt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
+          col("token").as("keyToken"),
+          explode(concat(array(col("token")), deletions(col("token")))).as("variant"))
+        // index side (the 10^9-entity side): self-variants are kept
+        // unconditionally (the exact path), DELETION variants above the df
+        // cap are dropped — hot deletion shapes ("ats" from cats/bats/rats)
+        // otherwise degenerate the variant join into a quadratic bucket.
+        val idxCols = Seq(col("uri"), col("classId"), col("nameId"),
+          col("nNameTok"), col("token").as("idxToken"))
+        val idxSelf = candidateTokens.select(idxCols :+ col("token").as("variant"): _*)
+        val idxDel0 = candidateTokens.select(
+          idxCols :+ explode(deletions(col("token"))).as("variant"): _*)
+        val delDf = idxDel0.groupBy("variant").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= variantDfCap).drop("_df")
+        val idxv = idxSelf.unionByName(idxDel0.join(delDf, "variant"))
+        val hits0 = ktv.join(idxv, "variant")
+        val hits = classesPerTable match {
+          case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
+            Seq("tableName", "classId"), "left_semi")
+          case None => hits0
+        }
+        // verify ED <= maxEditDistance (neighborhood intersection alone
+        // admits distance-2 pairs), dedup multi-variant matches, then
+        // count matched DISTINCT key tokens (fuzzy) vs equal tokens (exact)
+        hits
+          .filter(col("keyToken") === col("idxToken") ||
+            levenshtein(col("keyToken"), col("idxToken")) <= maxEditDistance)
+          .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+            col("nameId"), col("nNameTok"), col("nKeyTok"))
+          .agg(countDistinct(when(col("keyToken") === col("idxToken"),
+            col("keyToken"))).as("shared"),
+            countDistinct(col("keyToken")).as("sharedFuzzy"))
+          .withColumn("jaccardExact", col("shared").cast("double") /
+            (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+          .withColumn("jaccardFuzzy", col("sharedFuzzy").cast("double") /
+            (col("nKeyTok") + col("nNameTok") - col("sharedFuzzy")).cast("double"))
+          .withColumn("jaccard",
+            greatest(col("jaccardExact"), col("jaccardFuzzy") * 0.999))
+      }
     // R2: max over {label} ∪ surface forms.
     val perUri = perName
       .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))

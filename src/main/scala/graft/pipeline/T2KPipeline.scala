@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
 case class T2KConfig(
   selectionCandidates: Int = 50, selectionThreshold: Double = 0.2,   // CandidateSelection.java:52-56
   refinementCandidates: Int = 100, refinementThreshold: Double = 0.7, // CandidateRefinement.java:56-60
+  refinementEditDistance: Int = 1,                                    // CandidateRefinement.java:58 (fuzzy lookup)
   classConsensus: Double = 0.5, classFallbackTopK: Int = 5,           // ClassDecision.java:104-127
   dupK: Int = 2, dupThreshold: Double = 0.5,                          // DuplicateBasedSchemaMatching.java:91-93
   voteThreshold: Double = 0.4,                                        // SchemaVotingRule threshold
@@ -62,8 +63,10 @@ object T2KPipeline {
     // kb.cells feeds ~8 downstream joins: checkpoint once so each reuse
     // references the materialised table, not the full ingest lineage.
     val kbCells = ckpt("kb_cells", kb.cells)
-    val kbPropsByClass = kbCells.select("classId", "propId", "dtype").distinct()
-    val propClasses = kbCells.select("classId", "propId").distinct()
+    // from the header block (NOT from cell values): valueless properties
+    // still exist for label matching and class refinement
+    val kbPropsByClass = cache(kb.propsByClass)
+    val propClasses = kbPropsByClass.select("classId", "propId").distinct()
 
     // --- candidate index (S5) -------------------------------------------
     val index = ckpt("candidate_tokens",
@@ -81,7 +84,7 @@ object T2KPipeline {
     // --- candidate refinement (class-filtered, th 0.7) ------------------
     val refined = ckpt("candidates_refined", Candidates.generate(
       cells, keyCols, index, cfg.refinementCandidates, cfg.refinementThreshold,
-      Some(classes0)))
+      Some(classes0), cfg.refinementEditDistance))
 
     // --- first duplicate-based schema matching + class refinement -------
     val pairs0 = Schema.blockPairs(webCols, classes0, kbPropsByClass, cfg.kurtosisMin)

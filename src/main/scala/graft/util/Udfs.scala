@@ -20,6 +20,11 @@ object Udfs {
   val gsjRaw = udf((a: String, b: String) =>
     Similarity.generalisedStringJaccard(a, b, 0.5, 0.0))
 
+  /** GSJ(Levenshtein, 0.2, 0.2) — the similarity-flooding value matchers'
+    * config (ValueTypeComparatorWB2KB.java:41). */
+  val gsj02 = udf((a: String, b: String) =>
+    Similarity.generalisedStringJaccard(a, b, 0.2, 0.2))
+
   /** Equality fast path: most true matches are exact after normalisation,
     * so skip the O(tokens² × len²) greedy kernel for them — the UDF only
     * runs on genuinely fuzzy pairs (codegen evaluates `when` lazily). */

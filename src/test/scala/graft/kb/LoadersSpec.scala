@@ -18,9 +18,39 @@ class LoadersSpec extends SparkSpec {
   private val res = "/root/reference/src/test/resources"
   private def available = new java.io.File(res).isDirectory
 
-  test("csv line parser handles quotes and commas") {
-    assert(Loaders.parseCsvLine("\"a,b\",c,\"d\"\"e\"") === Seq("a,b", "c", "d\"e"))
-    assert(Loaders.parseCsvLine("x,,z") === Seq("x", "", "z"))
+  test("csv content parser handles quotes, commas, quoted newlines, crlf") {
+    assert(LodParse.parseCsv("\"a,b\",c,\"d\"\"e\"").toSeq.map(_.toSeq) ===
+      Seq(Seq("a,b", "c", "d\"e")))
+    assert(LodParse.parseCsv("x,,z\r\na,b,c").toSeq.map(_.toSeq) ===
+      Seq(Seq("x", "", "z"), Seq("a", "b", "c")))
+    assert(LodParse.parseCsv("\"multi\nline\",v\nnext,w").toSeq.map(_.toSeq) ===
+      Seq(Seq("multi\nline", "v"), Seq("next", "w")))
+    assert(LodParse.parseCsv("\uFEFF" + "bom,x").toSeq.map(_.toSeq) ===
+      Seq(Seq("bom", "x")))
+  }
+
+  test("label-twin collapse keeps the _label column, else the last") {
+    // _label twin precedes the object column (real dump order)
+    val keep = LodParse.keepColumns(
+      Seq("URI", "rdf-schema#label", "country_label", "country", "pop"),
+      Seq("URI", "uri:label", "uri:country", "uri:country", "uri:pop"))
+    assert(keep === Set(1, 2, 4))
+    // no twin: last column per duplicate URI wins
+    val keep2 = LodParse.keepColumns(
+      Seq("URI", "rdf-schema#label", "areaTotal", "areaTotal"),
+      Seq("URI", "uri:label", "uri:area", "uri:area"))
+    assert(keep2 === Set(1, 3))
+  }
+
+  test("declared type tokens map to engine dtypes") {
+    import graft.model.Dtype
+    assert(LodParse.xsdToDtype("XMLSchema#gYear") === Dtype.Date)
+    assert(LodParse.xsdToDtype("XMLSchema#double") === Dtype.Numeric)
+    assert(LodParse.xsdToDtype("squareKilometre") === Dtype.Numeric)
+    assert(LodParse.xsdToDtype("rdf-schema#Literal") === Dtype.String)
+    assert(LodParse.xsdToDtype("22-rdf-syntax-ns#langString") === Dtype.String)
+    assert(LodParse.xsdToDtype("Country") === null) // object column: unknown
+    assert(LodParse.xsdToDtype("authorName") === null) // fixture junk: unknown
   }
 
   test("reference kbtables load with LOD semantics") {

@@ -37,6 +37,50 @@ class OpsSpec extends SparkSpec {
     assert(!lsh.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash-LSH recall >= 0.9 vs exact jaccard on a generated corpus") {
+    // 200 base docs over a 2000-word vocabulary + 100 near-dup copies with
+    // one token substituted — the ground truth is the exact token-Jaccard
+    // pair set at the LSH S-curve threshold.
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(2000)(i => s"w${i}x${rnd.nextInt(1000)}")
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(12)(vocab(rnd.nextInt(vocab.length))).distinct.mkString(" "))
+    }
+    val near = (0 until 100).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (1000L + i, toks.mkString(" "))
+    }
+    val corpus = (base ++ near).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(corpus, "doc_id", "text", 0.8,
+      numHashes = 64, bands = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture produced no exact near-dups")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    // precision is 1.0 by construction (exact-jaccard verify step)
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("embedding LSH near-dup recalls the brute-force pairs (planted dups)") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 150).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val planted = (0 until 60).map { i =>
+      (10000L + i, base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = SimSearch.bruteForceNearDup(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimSearch.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"expected planted pairs, got ${exact.size}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embed LSH recall $recall over ${exact.size} pairs")
+    assert(lsh.subsetOf(exact)) // exact verify step => precision 1.0
+  }
+
   test("simhash: identical docs equal, near docs close, far docs far") {
     val fps = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

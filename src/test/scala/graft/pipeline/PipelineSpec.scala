@@ -42,6 +42,23 @@ class PipelineSpec extends SparkSpec {
     assert(best(("webtable2.csv", 0)) === "http://dbpedia.org/resource/University_Of_Mannheim")
   }
 
+  test("fuzzy lookup (edit distance 1) links a typo'd key cell") {
+    val cells = Seq(("webtableX.csv", 0, 0, "text", "uni mannheem", null: String))
+      .toDF("tableName", "rowNum", "colIdx", "kind", "text", "mediaRef")
+    val keyCols = Seq(("webtableX.csv", 0)).toDF("tableName", "colIdx")
+    val index = CandidateIndex.build(kb.cells, sf)
+    // exact-token refinement (th 0.7) loses the typo'd key...
+    val exact = Candidates.generate(cells, keyCols, index, 50, 0.7)
+    assert(exact.count() === 0)
+    // ...the deletion-1 neighborhood join still links it
+    val fuzzy = Candidates.generate(cells, keyCols, index, 50, 0.7, None, 1)
+    val best = fuzzy.orderBy($"score".desc, $"uri").select("uri", "score")
+      .as[(String, Double)].collect()
+    assert(best.nonEmpty &&
+      best.head._1 === "http://dbpedia.org/resource/University_Of_Mannheim")
+    assert(best.head._2 === 0.999)
+  }
+
   test("class decision assigns the right KB class per table") {
     val gold = MicroCorpus.gsClass.toDF("tableName", "className")
     val prf = Evaluator.evaluate(
