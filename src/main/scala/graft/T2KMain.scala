@@ -1,7 +1,7 @@
 package graft
 
 import graft.checkpoint.ParquetCheckpointer
-import graft.eval.Evaluator
+import graft.eval.{Diagnostics, Evaluator}
 import graft.kb.Loaders
 import graft.pipeline.{T2KConfig, T2KPipeline}
 import graft.triples.GraphSink
@@ -64,6 +64,31 @@ object T2KMain {
       .write.mode("overwrite").parquet(s"$out/schema_correspondences")
     result.classCorrs.write.mode("overwrite").parquet(s"$out/class_decision")
     GraphSink.write(result.triples, s"$out/triples")
+
+    // Reference-format CSV artifacts (what a reference user diffs:
+    // CSVCorrespondenceFormatter outputs + class_decision + triples,
+    // T2KMatch.java:662-681) and the A9 candidate statistics.
+    def csv(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$out/csv/$name")
+    csv(result.instanceCorrs.select(
+      concat(col("tableName"), lit("~Row"), col("rowNum")).as("id1"),
+      col("uri").as("id2"), col("score")), "instance_correspondences")
+    csv(result.schemaCorrs.join(kb.props.select("propId", "propUri"), "propId")
+      .select(concat(col("tableName"), lit("~Col"), col("colIdx")).as("id1"),
+        col("propUri").as("id2"), col("score")), "schema_correspondences")
+    csv(result.classCorrs.select(col("tableName"), col("className"), col("score")),
+      "class_decision")
+    csv(result.triples, "extracted_triples")
+    csv(Diagnostics.candidateStats(result.instanceCorrs), "candidate_statistics")
+    // LCWA summary (reference prints existing/correct%/new counts)
+    val lcwa = graft.triples.Triples.lcwaStats(result.triples).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val existing = lcwa.collect { case ((false, _), n) => n }.sum
+    val correct = lcwa.getOrElse((false, true), 0L)
+    val newT = lcwa.collect { case ((true, _), n) => n }.sum
+    val pct = if (existing == 0) 0.0 else correct * 100.0 / existing
+    println(f"Extracted $existing%d existing ($pct%.4f%% match values in KB) and $newT%d new triples!")
 
     // The reference prunes gold standards to the LOADED web tables
     // (T2KMatch.java:265-273) — gs rows for tables not in --web would

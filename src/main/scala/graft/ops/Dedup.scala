@@ -93,7 +93,16 @@ object Dedup {
                  threshold: Double, numHashes: Int = 64, bands: Int = 16,
                  bucketCap: Int = 10000): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    // token strings are hashed ONCE per doc; signatures, buckets and the
+    // verify step all work on the 8-byte hashes — token text never enters
+    // a shuffle (narrow rows at 100 TB)
+    val hashed = tokenSets(docs, idCol, textCol)
+      .select(col("docId"), col("nTok"),
+        array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("hs"), h => xxhash64(h, i))))
+    val sigs = hashed.select(col("docId"), sig.as("signature"))
     val bandCols = array((0 until bands).map(b =>
       xxhash64(concat_ws("_", slice(col("signature"), b * rows + 1, rows)))): _*)
     val banded = capBuckets(sigs.select(col("docId"),
@@ -101,11 +110,11 @@ object Dedup {
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "bucket"))
       .filter(col("x.docId") < col("y.docId"))
       .select(col("x.docId").as("id1"), col("y.docId").as("id2")).distinct()
-    // verify: exact jaccard on the candidate pairs only
-    val sets = tokenSets(docs, idCol, textCol)
+    // verify: exact jaccard over the hashed token sets (64-bit collisions
+    // are negligible at any realistic vocabulary)
     cand
-      .join(sets.select(col("docId").as("id1"), col("toks").as("t1"), col("nTok").as("n1")), "id1")
-      .join(sets.select(col("docId").as("id2"), col("toks").as("t2"), col("nTok").as("n2")), "id2")
+      .join(hashed.select(col("docId").as("id1"), col("hs").as("t1"), col("nTok").as("n1")), "id1")
+      .join(hashed.select(col("docId").as("id2"), col("hs").as("t2"), col("nTok").as("n2")), "id2")
       .withColumn("shared", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("n1") + col("n2") - col("shared")).cast("double"))

@@ -61,9 +61,17 @@ object Classes {
         Seq("tableName", "classId"), "left_semi")
       .groupBy(col("tableName"), col("classId"))
       .agg(sum(col("score")).as("classScore"))
-    perClass.withColumn("rk", row_number().over(
+    // Ties (common for tables whose only schema corr is the key: every
+    // decision class owning rdfs:label sums to 1.0) break on the CLASS
+    // DECISION's distribution score — the information-bearing signal —
+    // then classId for determinism.
+    perClass
+      .join(decisionClasses.select(col("tableName"), col("classId"),
+        col("classScore").as("decisionScore")), Seq("tableName", "classId"), "left")
+      .withColumn("rk", row_number().over(
         Window.partitionBy(col("tableName"))
-          .orderBy(col("classScore").desc, col("classId").asc)))
+          .orderBy(col("classScore").desc,
+            coalesce(col("decisionScore"), lit(0.0)).desc, col("classId").asc)))
       .filter(col("rk") === 1)
       .select(col("tableName"), col("classId"), col("classScore"))
   }
