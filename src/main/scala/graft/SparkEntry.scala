@@ -354,6 +354,21 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    // Hungarian optimality ORACLE (M3): per group of a 3x3 score matrix,
+    // the assignment's total score must equal the brute-force maximum over
+    // all 6 permutations — DuckDB enumerates the permutations exactly.
+    "q_onetoone_score" -> ((s, dir) => {
+      val edges = t(s, dir, "part")
+        .groupBy(col("p_brand").as("groupKey"),
+          pmod(col("p_partkey"), lit(3)).cast("int").as("left"),
+          pmod(floor(col("p_partkey") / 3), lit(3)).cast("int").as("right"))
+        .agg((lit(1.0) / (pmod(min(col("p_partkey")), lit(13)) + 1)).as("score"))
+      OneToOne.filterPerGroup(edges, "hungarian")
+        .groupBy(col("groupKey"))
+        .agg(round(sum(col("score")), 6).as("total_score"))
+        .select(col("groupKey").as("group_key"), col("total_score"))
+    }),
+
     // similarity-flooding score propagation per group (F1-F5; rows-only)
     "q_similarity_flooding" -> ((s, dir) => {
       val seeds = t(s, dir, "part")
@@ -610,6 +625,27 @@ object SparkEntry {
         | HAVING sum(CASE WHEN p_size <= 25 THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5)
         |SELECT p_brand AS brand, count(*) AS n_rows FROM part
         |WHERE p_brand IN (SELECT p_brand FROM keep) GROUP BY 1""".stripMargin,
+
+    "q_onetoone_score" ->
+      """WITH e AS (SELECT p_brand AS gk, CAST(p_partkey % 3 AS INT) AS l,
+        |  CAST((p_partkey // 3) % 3 AS INT) AS r,
+        |  1.0 / (min(p_partkey) % 13 + 1) AS score
+        | FROM part GROUP BY 1, 2, 3),
+        |g AS (SELECT gk,
+        |  coalesce(max(CASE WHEN l=0 AND r=0 THEN score END), 0) AS s00,
+        |  coalesce(max(CASE WHEN l=0 AND r=1 THEN score END), 0) AS s01,
+        |  coalesce(max(CASE WHEN l=0 AND r=2 THEN score END), 0) AS s02,
+        |  coalesce(max(CASE WHEN l=1 AND r=0 THEN score END), 0) AS s10,
+        |  coalesce(max(CASE WHEN l=1 AND r=1 THEN score END), 0) AS s11,
+        |  coalesce(max(CASE WHEN l=1 AND r=2 THEN score END), 0) AS s12,
+        |  coalesce(max(CASE WHEN l=2 AND r=0 THEN score END), 0) AS s20,
+        |  coalesce(max(CASE WHEN l=2 AND r=1 THEN score END), 0) AS s21,
+        |  coalesce(max(CASE WHEN l=2 AND r=2 THEN score END), 0) AS s22
+        | FROM e GROUP BY gk)
+        |SELECT gk AS group_key, round(greatest(
+        |  s00 + s11 + s22, s00 + s12 + s21, s01 + s10 + s22,
+        |  s01 + s12 + s20, s02 + s10 + s21, s02 + s11 + s20), 6) AS total_score
+        |FROM g""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
