@@ -45,7 +45,14 @@ object Streams {
                         n_events: Long, sum_value: Double)
 
   /** Gap-based sessionization with explicit state + processing-time
-    * timeout; emits a session when the gap exceeds `gapMs`. */
+    * timeout; emits a session when the gap exceeds `gapMs`.
+    *
+    * Memory note: `it.toSeq.sortBy` buffers ONE user's events of ONE
+    * micro-batch in executor memory (not the user's full history — state
+    * carries only the compact SessionState across batches). A single user
+    * producing more events per micro-batch than a task can hold is a
+    * trigger-interval problem, not a state-size problem; keep triggers
+    * short or pre-bucket pathological users upstream. */
   def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
