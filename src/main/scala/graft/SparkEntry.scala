@@ -194,7 +194,12 @@ object SparkEntry {
           lit(0).as("classId"),
           xxhash64(concat_ws(" ", col("toks"))).as("nameId"),
           col("n").as("nNameTok"), explode(col("toks")).as("token"))
-      Candidates.generate(cells, keyCols, index, 5, 0.5, None, 1)
+      // variantDfCap = unbounded HERE ONLY: the DuckDB oracle does an
+      // uncapped levenshtein join, so the capped engine would diverge once
+      // a deletion shape's df crosses the cap at larger SFs. The cap (a
+      // scale guard, default 2000 in the pipeline) is covered by its own
+      // spec, not by this oracle.
+      Candidates.generate(cells, keyCols, index, 5, 0.5, None, 1, Long.MaxValue)
         .select(col("rowNum").as("row_id"), col("uri"), col("score"))
     }),
 
@@ -369,6 +374,45 @@ object SparkEntry {
         .select(col("groupKey").as("group_key"), col("total_score"))
     }),
 
+    // Hungarian 2x2 ASSIGNMENT oracle (M3): per group of a 2x2 integer
+    // score matrix the assignment is closed-form (diag vs anti-diag total;
+    // missing cells = 0); groups where the two totals tie are excluded in
+    // BOTH engines (the winner is implementation-defined on ties).
+    "q_onetoone_assign" -> ((s, dir) => {
+      val edges = t(s, dir, "part")
+        .groupBy(col("p_brand").as("groupKey"),
+          pmod(col("p_partkey"), lit(2)).cast("int").as("left"),
+          pmod(floor(col("p_partkey") / 2), lit(2)).cast("int").as("right"))
+        .agg((pmod(min(col("p_partkey")), lit(97)) + 1).cast("double").as("score"))
+      val cells = edges.groupBy("groupKey").agg(
+        coalesce(max(when(col("left") === 0 && col("right") === 0, col("score"))), lit(0.0)).as("s00"),
+        coalesce(max(when(col("left") === 0 && col("right") === 1, col("score"))), lit(0.0)).as("s01"),
+        coalesce(max(when(col("left") === 1 && col("right") === 0, col("score"))), lit(0.0)).as("s10"),
+        coalesce(max(when(col("left") === 1 && col("right") === 1, col("score"))), lit(0.0)).as("s11"))
+      val ok = cells.filter(
+        abs((col("s00") + col("s11")) - (col("s01") + col("s10"))) > 1e-9)
+        .select("groupKey")
+      OneToOne.filterPerGroup(edges, "hungarian")
+        .join(ok, Seq("groupKey"), "left_semi")
+        .select(col("groupKey").as("group_key"), col("left").as("left_id"),
+          col("right").as("right_id"), col("score"))
+    }),
+
+    // SF formula "Basic", ONE propagation step, no 1:1 filter — closed
+    // form (seed + coeff*(total - seed), normalised by max), so DuckDB
+    // can mirror it exactly: integer-valued seeds make every FP op
+    // bit-identical across engines.
+    "q_sf_basic" -> ((s, dir) => {
+      val seeds = t(s, dir, "part")
+        .groupBy(col("p_brand").as("groupKey"),
+          pmod(col("p_partkey"), lit(6)).cast("int").as("left"),
+          pmod(col("p_partkey"), lit(4)).cast("int").as("right"))
+        .agg((pmod(min(col("p_partkey")), lit(11)) + 1).cast("double").as("score"))
+      SimilarityFlooding.run(seeds, "Basic", 0.1, "none", maxIter = 1)
+        .select(col("groupKey").as("group_key"), col("left").as("left_id"),
+          col("right").as("right_id"), col("score"))
+    }),
+
     // similarity-flooding score propagation per group (F1-F5; rows-only)
     "q_similarity_flooding" -> ((s, dir) => {
       val seeds = t(s, dir, "part")
@@ -445,8 +489,10 @@ object SparkEntry {
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         | SELECT user_id, event_id, value,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  -- BIGINT: DuckDB's window sum yields HUGEINT, Spark emits BIGINT;
+        |  -- the harness hash is representation-sensitive (values identical)
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         | sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
@@ -528,6 +574,9 @@ object SparkEntry {
         |SELECT rid AS row_id, uri, score FROM j
         |QUALIFY row_number() OVER (PARTITION BY rid ORDER BY score DESC, uri) <= 5""".stripMargin,
 
+    // fuzzy-on-miss parity: the exact leg scores every row; rows with an
+    // exact candidate >= threshold keep their exact candidate set, rows
+    // that MISS get the levenshtein leg (greatest(exact, 0.999*fuzzy)).
     "q_candidates_fuzzy" ->
       """WITH qsrc AS (SELECT p_partkey AS id,
         |  substr(p_name, 1, 2) || substr(p_name, 4) AS name
@@ -540,17 +589,28 @@ object SparkEntry {
         | FROM part),
         |qt AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM q),
         |it AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
-        |p AS (SELECT a.id AS rid, b.id AS uid, any_value(a.n) AS na,
+        |ex AS (SELECT a.id AS rid, b.id AS uid, any_value(a.n) AS na,
+        |  any_value(b.n) AS nb, count(*) AS shared
+        | FROM qt a JOIN it b ON a.tok = b.tok GROUP BY 1, 2),
+        |exj AS (SELECT rid, uid,
+        |  CAST(shared AS DOUBLE) / (na + nb - shared) AS score FROM ex),
+        |hit AS (SELECT DISTINCT rid FROM exj WHERE score >= 0.5),
+        |fz AS (SELECT a.id AS rid, b.id AS uid, any_value(a.n) AS na,
         |  any_value(b.n) AS nb,
         |  count(DISTINCT CASE WHEN a.tok = b.tok THEN a.tok END) AS shared,
-        |  count(DISTINCT a.tok) AS sharedf
-        | FROM qt a JOIN it b ON a.tok = b.tok
-        |   OR (greatest(length(a.tok), length(b.tok)) >= 4 AND levenshtein(a.tok, b.tok) <= 1)
+        |  least(count(DISTINCT a.tok), count(DISTINCT b.tok)) AS sharedf
+        | FROM qt a JOIN it b ON (a.tok = b.tok
+        |   OR (greatest(length(a.tok), length(b.tok)) >= 4 AND levenshtein(a.tok, b.tok) <= 1))
+        | WHERE a.id NOT IN (SELECT rid FROM hit)
         | GROUP BY 1, 2),
-        |j AS (SELECT rid, 'p' || lpad(CAST(uid AS VARCHAR), 10, '0') AS uri,
+        |fzj AS (SELECT rid, uid,
         |  greatest(CAST(shared AS DOUBLE) / (na + nb - shared),
         |    CAST(sharedf AS DOUBLE) / (na + nb - sharedf) * 0.999) AS score
-        | FROM p)
+        | FROM fz),
+        |u AS (SELECT * FROM exj WHERE rid IN (SELECT rid FROM hit)
+        |  UNION ALL SELECT * FROM fzj),
+        |j AS (SELECT rid, 'p' || lpad(CAST(uid AS VARCHAR), 10, '0') AS uri,
+        |  score FROM u)
         |SELECT rid AS row_id, uri, score FROM j WHERE score >= 0.5
         |QUALIFY row_number() OVER (PARTITION BY rid ORDER BY score DESC, uri) <= 5""".stripMargin,
 
@@ -646,6 +706,40 @@ object SparkEntry {
         |  s00 + s11 + s22, s00 + s12 + s21, s01 + s10 + s22,
         |  s01 + s12 + s20, s02 + s10 + s21, s02 + s11 + s20), 6) AS total_score
         |FROM g""".stripMargin,
+
+    "q_onetoone_assign" ->
+      """WITH e AS (SELECT p_brand AS gk, CAST(p_partkey % 2 AS INT) AS l,
+        |  CAST((p_partkey // 2) % 2 AS INT) AS r,
+        |  CAST(min(p_partkey) % 97 + 1 AS DOUBLE) AS score
+        | FROM part GROUP BY 1, 2, 3),
+        |g AS (SELECT gk,
+        |  coalesce(max(CASE WHEN l=0 AND r=0 THEN score END), 0) AS s00,
+        |  coalesce(max(CASE WHEN l=0 AND r=1 THEN score END), 0) AS s01,
+        |  coalesce(max(CASE WHEN l=1 AND r=0 THEN score END), 0) AS s10,
+        |  coalesce(max(CASE WHEN l=1 AND r=1 THEN score END), 0) AS s11
+        | FROM e GROUP BY gk),
+        |w AS (SELECT gk, s00 + s11 AS d, s01 + s10 AS a FROM g
+        | WHERE abs((s00 + s11) - (s01 + s10)) > 1e-9)
+        |SELECT e.gk AS group_key, e.l AS left_id, e.r AS right_id, e.score
+        |FROM e JOIN w ON e.gk = w.gk
+        |WHERE (w.d > w.a AND e.l = e.r) OR (w.a > w.d AND e.l <> e.r)""".stripMargin,
+
+    "q_sf_basic" ->
+      """WITH e AS (SELECT p_brand AS gk, CAST(p_partkey % 6 AS INT) AS l,
+        |  CAST(p_partkey % 4 AS INT) AS r,
+        |  CAST(min(p_partkey) % 11 + 1 AS DOUBLE) AS score
+        | FROM part GROUP BY 1, 2, 3),
+        |g AS (SELECT gk, count(*) AS n, sum(score) AS total FROM e GROUP BY gk),
+        |rw AS (SELECT e.gk, e.l, e.r,
+        |  CASE WHEN g.n > 1
+        |   THEN e.score + (1.0 / (g.n - 1)) * (g.total - e.score)
+        |   ELSE e.score END AS raw
+        | FROM e JOIN g ON e.gk = g.gk),
+        |m AS (SELECT gk, max(raw) AS mx FROM rw GROUP BY gk)
+        |SELECT rw.gk AS group_key, rw.l AS left_id, rw.r AS right_id,
+        | rw.raw / m.mx AS score
+        |FROM rw JOIN m ON rw.gk = m.gk
+        |WHERE rw.raw / m.mx >= 0.1""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

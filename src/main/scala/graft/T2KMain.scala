@@ -159,14 +159,24 @@ object T2KMain {
       }
     }
 
-    // --- F5 sweep: formulas × minSim × 1:1 filters over the pipeline's
-    // schema-corr matrix (T2KMatch.java:469-651), one P/R row per config --
+    // --- F5 sweep: seed sources × formulas × minSim × 1:1 filters
+    // (T2KMatch.java:469-651), one P/R row per config. Seed sources:
+    //  pipeline  — the reference's SF input: FULL (web col × class prop)
+    //              matrix zero-padded around post-combine scores
+    //              (SimilarityFloodingPipelineComparator semantics);
+    //  label     — F2 label-based seeds;
+    //  value     — F3 typed value-based seeds.
     opts.get("sf-sweep").foreach { sweepOut =>
       import graft.onetoone.SFMatchers
       val classes = result.classCorrs.select("tableName", "classId")
-      val seeds = result.schemaCorrs.join(classes, "tableName")
-        .select(concat(col("tableName"), lit("|"), col("classId")).as("groupKey"),
-          col("colIdx").as("left"), col("propId").as("right"), col("score"))
+      val cells = graft.model.SpanCodec.cells(docs)
+      val webCols = graft.model.SpanCodec.columns(docs)
+      val seedSources = Seq(
+        "pipeline" -> SFMatchers.pipelineMatrixSeeds(
+          result.schemaCorrs, webCols, kb.propsByClass, classes),
+        "label" -> SFMatchers.labelSeeds(webCols, kb.props, kb.propsByClass, classes),
+        "value" -> SFMatchers.valueSeeds(result.instanceCorrs, cells, kb.cells,
+          webCols, Some(sf), typed = true))
       val gold = opts.get("gs-property").map { p =>
         pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
           .select(split(col("leftId"), "~Col").getItem(0).as("tableName"),
@@ -176,10 +186,10 @@ object T2KMain {
           .join(classes, "tableName")
           .select(concat(col("tableName"), lit("|"), col("classId")).as("groupKey"),
             col("left"), col("right"))
-      }.getOrElse(seeds.limit(0).select("groupKey", "left", "right"))
-      val table = SFMatchers.sweep(seeds, gold)
+      }.getOrElse(seedSources.head._2.limit(0).select("groupKey", "left", "right"))
+      val table = SFMatchers.sweep(seedSources, gold)
       table.coalesce(1).write.mode("overwrite").option("header", "true").csv(sweepOut)
-      table.orderBy(col("f1").desc).show(50, truncate = false)
+      table.orderBy(col("f1").desc).show(60, truncate = false)
     }
 
     println(s"wrote correspondences + triples to $out")

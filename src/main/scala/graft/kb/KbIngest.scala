@@ -118,9 +118,20 @@ object KbIngest {
       .agg(count(when(col("value").rlike(numPat), 1)).as("nNum"),
         count(when(col("value").rlike(datePat), 1)).as("nDate"),
         count(lit(1)).as("n"))
+    // Deterministic picks: two class files can declare conflicting headers
+    // or xsd types for the same propUri; first() over an unordered distinct
+    // would flip typed-comparator dispatch across runs. Header: min (skips
+    // nulls). Declared dtype: majority vote, ties broken lexicographically.
+    val declPick = schemaDim
+      .withColumn("declared", xsdDtypeUdf(col("xsdType")))
+      .filter(col("declared").isNotNull)
+      .groupBy("propUri", "declared").agg(count(lit(1)).as("nDecl"))
+      .withColumn("rk", row_number().over(Window.partitionBy("propUri")
+        .orderBy(col("nDecl").desc, col("declared").asc)))
+      .filter(col("rk") === 1).select("propUri", "declared")
     val propDim = schemaDim.groupBy("propUri")
-      .agg(first("propHeader", ignoreNulls = true).as("header"),
-        first(xsdDtypeUdf(col("xsdType")), ignoreNulls = true).as("declared"))
+      .agg(min("propHeader").as("header"))
+      .join(declPick, Seq("propUri"), "left")
       .join(valueStats, Seq("propUri"), "left")
       .withColumn("dtype",
         when(col("propUri") === Dtype.RdfsLabelUri, Dtype.String)

@@ -42,12 +42,18 @@ object Loaders {
   def loadLodCsvDir(spark: SparkSession, dir: String,
                     hierarchy: Seq[(String, String)]): KbIngest.Ingested = {
     import spark.implicits._
-    val long = spark.read.option("wholetext", "true").text(dir)
+    val long = spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.csv*") // stray files must not parse as tables
+      .text(dir)
       .select(input_file_name().as("path"), col("value"))
       .as[(String, String)]
       .flatMap { case (path, content) =>
         LodParse.longForm(stripExt(fileNameOf(path)), content) }
       .toDF()
+    // fail fast on a wrong/empty --kb path instead of silently yielding an
+    // empty KB (limit(1) short-circuits after the first parsed record)
+    require(long.limit(1).count() == 1,
+      s"no LOD class tables parsed from '$dir' (wrong path, or no *.csv files?)")
     KbIngest.fromLongForm(spark, long, hierarchy)
   }
 
@@ -106,7 +112,9 @@ object Loaders {
    */
   def loadWebTablesDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(dir)
+    spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.csv*") // stray files are not web tables
+      .text(dir)
       .select(input_file_name().as("path"), col("value"))
       .as[(String, String)]
       .flatMap { case (path, content) =>

@@ -148,28 +148,53 @@ object SFMatchers {
         .toDF("groupKey", "left", "right", "score")
     } else SimilarityFlooding.run(seeds, formula, minSim, oneToOne)
 
-  /** F5: the reference's hyper-parameter sweep — formulas × minSim grid ×
-    * 1:1 filters, each configuration evaluated against a gold standard of
-    * (groupKey, left, right) rows (T2KMatch.java:469-651: formulas A and C,
-    * minSim {0.06..0.0}, filters {StableMarriage, TopOneK, Hungarian}).
-    * Returns one row per configuration with P/R/F1. */
-  def sweep(seeds: DataFrame, gold: DataFrame,
+  /** F5: the reference's hyper-parameter sweep — SEED SOURCES × formulas ×
+    * minSim grid × 1:1 filters, each configuration evaluated against a gold
+    * standard of (groupKey, left, right) rows (T2KMatch.java:469-651:
+    * formulas A and C, minSim {0.06..0.0}, filters {StableMarriage, TopOneK,
+    * Hungarian}). The seed sources are the discriminating axis the
+    * reference varies through its comparator: the full zero-padded
+    * pipeline matrix, the F2 label seeds, the F3 value seeds — a sweep
+    * over only near-1:1 post-combine corr EDGES collapses every config to
+    * the same answer. Returns one row per (seed, formula, minSim, filter)
+    * with P/R/F1. */
+  def sweep(seedSources: Seq[(String, DataFrame)], gold: DataFrame,
             formulas: Seq[String] = Seq("A", "C"),
             minSims: Seq[Double] = Seq(0.06, 0.05, 0.04, 0.03, 0.02, 0.01, 0.0),
             filters: Seq[String] = Seq("stable", "greedy", "hungarian")): DataFrame = {
-    val spark = seeds.sparkSession
+    val spark = seedSources.head._2.sparkSession
     import spark.implicits._
-    val cached = seeds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = Seq("groupKey", "left", "right")
-    val rows = for {
-      f <- formulas; m <- minSims; filt <- filters
-    } yield {
-      val prf = Evaluator.evaluate(run(cached, f, m, filt).select(keys.map(col): _*),
-        gold.select(keys.map(col): _*), keys)
-      (f, m, filt, prf.tp, prf.predicted, prf.gold, prf.precision, prf.recall, prf.f1)
+    val rows = seedSources.flatMap { case (seedName, seeds) =>
+      val cached = seeds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = for { f <- formulas; m <- minSims; filt <- filters } yield {
+        val prf = Evaluator.evaluate(run(cached, f, m, filt).select(keys.map(col): _*),
+          gold.select(keys.map(col): _*), keys)
+        (seedName, f, m, filt, prf.tp, prf.predicted, prf.gold,
+          prf.precision, prf.recall, prf.f1)
+      }
+      cached.unpersist()
+      out
     }
-    cached.unpersist()
-    rows.toDF("formula", "min_sim", "filter", "tp", "n_predicted", "n_gold",
-      "prec", "rec", "f1")
+    rows.toDF("seed", "formula", "min_sim", "filter", "tp", "n_predicted",
+      "n_gold", "prec", "rec", "f1")
   }
+
+  /** The reference pipeline's SF input matrix: for each web table paired
+    * with its FINAL decision class, EVERY (web column × class property)
+    * cell — seeded with the post-combine schema-corr score where one
+    * exists, 0.0 otherwise (SimilarityFloodingPipelineComparator.java:21-39
+    * returns 0.0 for non-corr cells; the zero cells are what flooding
+    * redistributes mass into, so dropping them collapses the sweep). */
+  def pipelineMatrixSeeds(schemaCorrs: DataFrame, webCols: DataFrame,
+                          kbPropsByClass: DataFrame,
+                          finalClassPerTable: DataFrame): DataFrame =
+    webCols.filter(col("dtype") =!= "media")
+      .select("tableName", "colIdx")
+      .join(finalClassPerTable.select("tableName", "classId"), "tableName")
+      .join(kbPropsByClass.select("classId", "propId").distinct(), "classId")
+      .join(schemaCorrs.select("tableName", "colIdx", "propId", "score"),
+        Seq("tableName", "colIdx", "propId"), "left")
+      .select(groupKey.as("groupKey"), col("colIdx").as("left"),
+        col("propId").as("right"), coalesce(col("score"), lit(0.0)).as("score"))
 }

@@ -64,12 +64,15 @@ object SimilarityFlooding {
   }
 
   /** Full SF pass: fixpoint + 1:1 filter, per group, distributed across
-    * groups. `corrs`: (groupKey, left, right, score=seed). */
+    * groups. `corrs`: (groupKey, left, right, score=seed). oneToOne
+    * "none" skips the 1:1 filter (bare flooded scores); `maxIter` bounds
+    * the fixpoint (1 = the closed-form single propagation step). */
   def run(corrs: DataFrame, formula: String = "A", minSim: Double = 0.1,
-          oneToOne: String = "stable"): DataFrame = {
+          oneToOne: String = "stable", maxIter: Int = 1000): DataFrame = {
     val spark = corrs.sparkSession
     import spark.implicits._
     val kernel: Seq[OneToOne.Edge] => Seq[OneToOne.Edge] = oneToOne match {
+      case "none" => identity
       case "greedy" => OneToOne.greedy
       case "stable" => OneToOne.stableMarriage
       case "hungarian" => OneToOne.hungarian
@@ -81,7 +84,7 @@ object SimilarityFlooding {
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val flooded = fixpoint(it.map(t => Pair(t._2, t._3, t._4)).toSeq,
-          formula, minSim)
+          formula, minSim, maxIter)
         kernel(flooded).map(e => (key, e.left, e.right, e.score))
       }
       .toDF("groupKey", "left", "right", "score")

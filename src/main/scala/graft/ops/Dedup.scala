@@ -96,10 +96,15 @@ object Dedup {
     // token strings are hashed ONCE per doc; signatures, buckets and the
     // verify step all work on the 8-byte hashes — token text never enters
     // a shuffle (narrow rows at 100 TB)
+    // eager localCheckpoint, NOT persist: hashed is consumed by the
+    // signature pass and twice by the verify join, but a CacheManager
+    // persist outlives the call (sweep-style benches invoke this per
+    // config and would leak cached blocks). Checkpoint blocks are
+    // reclaimed by the ContextCleaner once the returned frame is dropped.
     val hashed = tokenSets(docs, idCol, textCol)
       .select(col("docId"), col("nTok"),
         array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sig = transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(col("hs"), h => xxhash64(h, i))))
     val sigs = hashed.select(col("docId"), sig.as("signature"))

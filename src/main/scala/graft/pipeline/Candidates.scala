@@ -57,6 +57,29 @@ object Candidates {
           token.substr(i + 2, length(token))))))
 
   /**
+   * Deletion-variant expansion of the candidate-token index — a pure
+   * function of the KB, so build it ONCE (and checkpoint it next to
+   * `candidate_tokens`) instead of re-expanding inside every `generate`
+   * call: the per-call rebuild was the T2D run's hot spot (270 s of a
+   * 20-min run for the refinement stage alone).
+   *
+   * Self-variants (the exact path) are kept unconditionally; DELETION
+   * variants above `variantDfCap` document frequency are dropped — hot
+   * deletion shapes ("ats" from cats/bats/rats) otherwise degenerate the
+   * variant join into a quadratic bucket.
+   */
+  def variantIndex(candidateTokens: DataFrame, variantDfCap: Long = 2000): DataFrame = {
+    val idxCols = Seq(col("uri"), col("classId"), col("nameId"),
+      col("nNameTok"), col("token").as("idxToken"))
+    val idxSelf = candidateTokens.select(idxCols :+ col("token").as("variant"): _*)
+    val idxDel0 = candidateTokens.select(
+      idxCols :+ explode(deletions(col("token"))).as("variant"): _*)
+    val delDf = idxDel0.groupBy("variant").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= variantDfCap).drop("_df")
+    idxSelf.unionByName(idxDel0.join(delDf, "variant"))
+  }
+
+  /**
    * Generate scored candidates:
    * (tableName, rowNum, uri, classId, score) with score = max over entity
    * names of tokenJaccard(keyValue, name); top `numCandidates` per row with
@@ -71,49 +94,83 @@ object Candidates {
    * always outrank typo matches, but a typo'd key cell whose tokens are
    * all within edit distance 1 still clears the refinement threshold.
    */
+  /** Exact leg: Jaccard per (row, candidate name) from shared-token
+    * counts. Names are pre-hashed 64-bit ids (CandidateIndex) — the
+    * aggregation only needs name identity, and hashed keys keep shuffle
+    * rows narrow. With `withIdf`, also carries sum(idf of shared tokens)
+    * — the Lucene-score analog used for the retrieval cut. */
+  private def exactPerName(kt: DataFrame, candidateTokens: DataFrame,
+                           classesPerTable: Option[DataFrame],
+                           withIdf: Boolean,
+                           saltHotTokenDf: Long = 0L): DataFrame = {
+    // Explicit hot-token salting (opt-in): tokens whose index-side df
+    // reaches the threshold join through Salt.skewSplitJoin — the index
+    // rows spread across 8 salted partitions instead of one straggler.
+    // Default off: CandidateIndex.dfCap already drops stop tokens and AQE
+    // splits moderate skew; this is the guard for a corpus where even the
+    // capped df concentrates in one executor's memory.
+    val hits0 =
+      if (saltHotTokenDf > 0L)
+        graft.util.Salt.skewSplitJoin(candidateTokens, kt, "token", 8,
+          saltHotTokenDf, Seq("uri", "nameId"))
+      else kt.join(candidateTokens, "token")
+    // No broadcast hint: classesPerTable is O(#tables) rows — at
+    // millions of tables that's a multi-GB driver broadcast. AQE
+    // decides; the left-semi is fine as a shuffle.
+    val hits = classesPerTable match {
+      case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
+        Seq("tableName", "classId"), "left_semi")
+      case None => hits0
+    }
+    val aggs =
+      if (withIdf) Seq(count(lit(1)).as("shared"), sum(col("idf")).as("idfSum"))
+      else Seq(count(lit(1)).as("shared"))
+    hits
+      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+        col("nameId"), col("nNameTok"), col("nKeyTok"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+  }
+
   def generate(cells: DataFrame, keyCols: DataFrame, candidateTokens: DataFrame,
                numCandidates: Int, simThreshold: Double,
                classesPerTable: Option[DataFrame] = None,
-               maxEditDistance: Int = 0, variantDfCap: Long = 2000): DataFrame = {
+               maxEditDistance: Int = 0, variantDfCap: Long = 2000,
+               variants: Option[DataFrame] = None,
+               rankByIdf: Boolean = false,
+               saltHotTokenDf: Long = 0L): DataFrame = {
     val kt = keyTokens(cells, keyCols)
     val perName =
       if (maxEditDistance <= 0) {
-        val hits0 = kt.join(candidateTokens, "token")
-        // No broadcast hint: classesPerTable is O(#tables) rows — at
-        // millions of tables that's a multi-GB driver broadcast. AQE
-        // decides; the left-semi is fine as a shuffle.
-        val hits = classesPerTable match {
-          case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
-            Seq("tableName", "classId"), "left_semi")
-          case None => hits0
-        }
-        // Exact Jaccard per (row, candidate name) from shared-token counts.
-        // Names are pre-hashed 64-bit ids (CandidateIndex) — the
-        // aggregation only needs name identity, and hashed keys keep
-        // shuffle rows narrow.
-        hits
-          .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
-            col("nameId"), col("nNameTok"), col("nKeyTok"))
-          .agg(count(lit(1)).as("shared"))
-          .withColumn("jaccard", col("shared").cast("double") /
-            (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+        exactPerName(kt, candidateTokens, classesPerTable, rankByIdf,
+          saltHotTokenDf)
       } else {
+        // Fuzzy-on-miss: the exact leg runs for ALL rows; the deletion-
+        // variant join runs ONLY for rows whose exact pass produced no
+        // candidate >= simThreshold (the reference queries fuzzily to
+        // recover rows the exact lookup loses — rows with an exact match
+        // above the threshold keep their exact candidate set). This keeps
+        // the expensive variant join proportional to the MISS count, not
+        // the corpus.
+        // Lazy lineage cut: the exact leg feeds both the miss-row filter
+        // and the result union — cached at its first action, reclaimed by
+        // the ContextCleaner (no CacheManager entry to leak across calls).
+        val exact = exactPerName(kt, candidateTokens, classesPerTable,
+          withIdf = false, saltHotTokenDf).localCheckpoint(false)
+        val hitRows = exact.groupBy(col("tableName"), col("rowNum"))
+          .agg(max(col("jaccard")).as("best"))
+          .filter(col("best") >= simThreshold)
+          .select("tableName", "rowNum")
+        val missKt = kt.join(hitRows, Seq("tableName", "rowNum"), "left_anti")
         // key side (small): self + deletion variants
-        val ktv = kt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
+        val ktv = missKt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
           col("token").as("keyToken"),
           explode(concat(array(col("token")), deletions(col("token")))).as("variant"))
-        // index side (the 10^9-entity side): self-variants are kept
-        // unconditionally (the exact path), DELETION variants above the df
-        // cap are dropped — hot deletion shapes ("ats" from cats/bats/rats)
-        // otherwise degenerate the variant join into a quadratic bucket.
-        val idxCols = Seq(col("uri"), col("classId"), col("nameId"),
-          col("nNameTok"), col("token").as("idxToken"))
-        val idxSelf = candidateTokens.select(idxCols :+ col("token").as("variant"): _*)
-        val idxDel0 = candidateTokens.select(
-          idxCols :+ explode(deletions(col("token"))).as("variant"): _*)
-        val delDf = idxDel0.groupBy("variant").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= variantDfCap).drop("_df")
-        val idxv = idxSelf.unionByName(idxDel0.join(delDf, "variant"))
+        // index side: prebuilt (checkpointed) when the caller has one —
+        // the expansion is a pure function of the KB, so rebuilding it per
+        // call wastes a full index scan + df-count shuffle every time.
+        val idxv = variants.getOrElse(variantIndex(candidateTokens, variantDfCap))
         val hits0 = ktv.join(idxv, "variant")
         val hits = classesPerTable match {
           case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
@@ -122,30 +179,55 @@ object Candidates {
         }
         // verify ED <= maxEditDistance (neighborhood intersection alone
         // admits distance-2 pairs), dedup multi-variant matches, then
-        // count matched DISTINCT key tokens (fuzzy) vs equal tokens (exact)
-        hits
+        // count matched DISTINCT key tokens (fuzzy) vs equal tokens (exact).
+        // The fuzzy intersection is bounded by BOTH sides: countDistinct of
+        // key tokens alone can exceed the matched index tokens (two key
+        // tokens hitting one index token), pushing jaccardFuzzy past 1.0
+        // and above a true exact match.
+        val fuzzy = hits
           .filter(col("keyToken") === col("idxToken") ||
             levenshtein(col("keyToken"), col("idxToken")) <= maxEditDistance)
           .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
             col("nameId"), col("nNameTok"), col("nKeyTok"))
           .agg(countDistinct(when(col("keyToken") === col("idxToken"),
             col("keyToken"))).as("shared"),
-            countDistinct(col("keyToken")).as("sharedFuzzy"))
+            least(countDistinct(col("keyToken")),
+              countDistinct(col("idxToken"))).as("sharedFuzzy"))
           .withColumn("jaccardExact", col("shared").cast("double") /
             (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
           .withColumn("jaccardFuzzy", col("sharedFuzzy").cast("double") /
             (col("nKeyTok") + col("nNameTok") - col("sharedFuzzy")).cast("double"))
           .withColumn("jaccard",
             greatest(col("jaccardExact"), col("jaccardFuzzy") * 0.999))
+        // union is exact-for-hit-rows ∪ fuzzy-for-miss-rows: the fuzzy leg
+        // re-derives every exact share of a miss row through self-variants,
+        // and its greatest() score dominates the exact leg's, so the
+        // per-uri max below resolves the overlap for miss rows.
+        exact.select("tableName", "rowNum", "uri", "classId", "nameId",
+            "nNameTok", "nKeyTok", "jaccard")
+          .unionByName(fuzzy.select("tableName", "rowNum", "uri", "classId",
+            "nameId", "nNameTok", "nKeyTok", "jaccard"))
       }
-    // R2: max over {label} ∪ surface forms.
+    // R2: max over {label} ∪ surface forms. With rankByIdf the top-N cut
+    // orders by the IDF-weighted retrieval score (rare shared tokens beat
+    // stop-ish ones — Lucene TF-IDF parity, SURVEY §2.2 B2) while the
+    // threshold keeps R1's WebJaccard semantics; score stays Jaccard.
+    val uriAggs =
+      if (rankByIdf && maxEditDistance <= 0)
+        Seq(max(col("jaccard")).as("score"), max(col("idfSum")).as("retrieval"))
+      else Seq(max(col("jaccard")).as("score"))
     val perUri = perName
       .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))
-      .agg(max(col("jaccard")).as("score"))
+      .agg(uriAggs.head, uriAggs.tail: _*)
       .filter(col("score") >= simThreshold)
+    val ordering =
+      if (rankByIdf && maxEditDistance <= 0)
+        Seq(col("retrieval").desc, col("score").desc, col("uri").asc)
+      else Seq(col("score").desc, col("uri").asc)
     val w = Window.partitionBy(col("tableName"), col("rowNum"))
-      .orderBy(col("score").desc, col("uri").asc)
+      .orderBy(ordering: _*)
     perUri.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= numCandidates).drop("rk")
+      .select("tableName", "rowNum", "uri", "classId", "score")
   }
 }

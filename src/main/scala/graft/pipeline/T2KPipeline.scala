@@ -30,7 +30,10 @@ case class T2KConfig(
   irThreshold: Double = 0.1, keyWeight: Double = 5.0,                 // DataTypeDependentRecordMatchingRule
   kurtosisMin: Double = 2.0,                                          // ClassAndTypeBasedSchemaBlocker.java:249-260
   numIterations: Int = 1,                                             // T2KMatch.java:153-154
-  tokenDfCap: Long = 100000, mappedRatio: Double = 0.0)
+  tokenDfCap: Long = 100000, mappedRatio: Double = 0.0,
+  variantDfCap: Long = 2000,                                          // fuzzy deletion-variant df guard
+  idfRanking: Boolean = false,                                        // IDF-weighted selection cut (Lucene TF-IDF analog)
+  saltHotTokenDf: Long = 0)                                           // >0: salt the candidate token join for tokens at/above this df
 
 case class T2KResult(instanceCorrs: DataFrame, schemaCorrs: DataFrame,
                      classCorrs: DataFrame, triples: DataFrame)
@@ -71,20 +74,37 @@ object T2KPipeline {
     // --- candidate index (S5) -------------------------------------------
     val index = ckpt("candidate_tokens",
       CandidateIndex.build(kbCells, surfaceForms, cfg.tokenDfCap))
+    // deletion-variant expansion: a pure function of the index — built and
+    // checkpointed ONCE here; rebuilding it inside each generate() call was
+    // the refinement stage's dominant cost (270 s on the T2D run)
+    val variants =
+      if (cfg.refinementEditDistance > 0)
+        Some(ckpt("candidate_variants",
+          Candidates.variantIndex(index, cfg.variantDfCap)))
+      else None
+
+    // window top-N stages coalesce to ~1 partition under AQE at small
+    // corpus sizes, serialising every downstream task (manifest evidence:
+    // candidates_refined landed in 1 partition). Explicit N defeats the
+    // coalesce; the key layout matches the downstream joins.
+    val nShuffle = docs.sparkSession.sessionState.conf.numShufflePartitions
+    def spread(df: DataFrame): DataFrame =
+      df.repartition(nShuffle, col("tableName"), col("rowNum"))
 
     // --- candidate selection (B1 + R1/R2) -------------------------------
     // consumed once (class decision) — no barrier needed
     val selection = Candidates.generate(
-      cells, keyCols, index, cfg.selectionCandidates, cfg.selectionThreshold)
+      cells, keyCols, index, cfg.selectionCandidates, cfg.selectionThreshold,
+      rankByIdf = cfg.idfRanking, saltHotTokenDf = cfg.saltHotTokenDf)
 
     // --- class decision (A1-A3) -----------------------------------------
     val classes0 = cache(Classes.decide(selection, kb.classes,
       cfg.classConsensus, cfg.classFallbackTopK))
 
-    // --- candidate refinement (class-filtered, th 0.7) ------------------
-    val refined = ckpt("candidates_refined", Candidates.generate(
+    // --- candidate refinement (class-filtered, th 0.7, fuzzy-on-miss) ---
+    val refined = ckpt("candidates_refined", spread(Candidates.generate(
       cells, keyCols, index, cfg.refinementCandidates, cfg.refinementThreshold,
-      Some(classes0), cfg.refinementEditDistance))
+      Some(classes0), cfg.refinementEditDistance, cfg.variantDfCap, variants)))
 
     // --- first duplicate-based schema matching + class refinement -------
     val pairs0 = Schema.blockPairs(webCols, classes0, kbPropsByClass, cfg.kurtosisMin)
@@ -105,7 +125,7 @@ object T2KPipeline {
     val classes = cache(
       Classes.withAncestors(classesBest, kb.classes, hierarchy))
     val candidates = ckpt("candidates_filtered",
-      Classes.filterCandidates(refined, classes))
+      spread(Classes.filterCandidates(refined, classes)))
 
     // --- iteration loop (T2KMatch.java:356-405) -------------------------
     val pairs = cache(
@@ -121,9 +141,9 @@ object T2KPipeline {
         cfg.combineWeightDup, cfg.combineWeightLabel, cfg.combineThreshold)
       schemaCorrs = if (it == 0) combined else Schema.update(schemaCorrs, combined)
       schemaCorrs = ckpt(s"schema_corrs_it$it", schemaCorrs)
-      instanceCands = ckpt(s"instance_cands_it$it", Identity.resolve(
+      instanceCands = ckpt(s"instance_cands_it$it", spread(Identity.resolve(
         instanceCands, schemaCorrs, keyCols, cells, kbCells, webCols,
-        cfg.keyWeight, cfg.irThreshold))
+        cfg.keyWeight, cfg.irThreshold)))
     }
 
     // --- 1:1 top-1 (T2KMatch.java:411-413) ------------------------------

@@ -43,4 +43,22 @@ object Salt {
     * guesswork (driver-sized result). */
   def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+
+  /** Split-salted inner equi-join for large × large joins on Zipfian keys
+    * (the candidate token join on a pathologically hot class/token): keys
+    * whose LEFT-side frequency reaches `minCount` take the salted leg
+    * (left rows content-salted s ways, right hot rows replicated s ways);
+    * everything else joins normally. A key is hot or cold as a whole, so
+    * the two legs partition the output exactly. Use where even an
+    * AQE-split partition would exceed executor memory. */
+  def skewSplitJoin(left: DataFrame, right: DataFrame, key: String, s: Int,
+                    minCount: Long, leftSaltCols: Seq[String]): DataFrame = {
+    val hot = hotKeys(left, key, minCount).select(key)
+    val lHot = left.join(broadcast(hot), Seq(key), "left_semi")
+    val lCold = left.join(broadcast(hot), Seq(key), "left_anti")
+    val rHot = right.join(broadcast(hot), Seq(key), "left_semi")
+    val rCold = right.join(broadcast(hot), Seq(key), "left_anti")
+    lCold.join(rCold, key)
+      .unionByName(saltedJoin(lHot, rHot, key, s, leftSaltCols))
+  }
 }

@@ -95,12 +95,12 @@ class SFMatchersSpec extends SparkSpec {
       .toDF("groupKey", "left", "right", "score")
     val gold = Seq(("t1|0", 0, 10), ("t1|0", 1, 11), ("t2|0", 0, 10))
       .toDF("groupKey", "left", "right")
-    val table = SFMatchers.sweep(seeds, gold,
+    val table = SFMatchers.sweep(Seq("edges" -> seeds), gold,
       formulas = Seq("A", "C"), minSims = Seq(0.06, 0.0),
       filters = Seq("stable", "greedy", "hungarian")).collect()
-    assert(table.length === 2 * 2 * 3)
+    assert(table.length === 1 * 2 * 2 * 3)
     // every config evaluated: recall in [0,1], the easy configs find t1 pairs
-    assert(table.forall(r => r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0))
-    assert(table.exists(r => r.getDouble(8) > 0.5)) // some config has F1 > 0.5
+    assert(table.forall(r => r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0))
+    assert(table.exists(r => r.getDouble(9) > 0.5)) // some config has F1 > 0.5
   }
 }

@@ -37,4 +37,37 @@ class SaltSpec extends SparkSpec {
     val hot = Salt.hotKeys(fact, "classKey", 100).as[(String, Long)].collect()
     assert(hot.toSeq === Seq(("hot", 1000L)))
   }
+
+  test("skew-split join equals plain join (hot and cold legs partition output)") {
+    val left = (0 until 5000).map(i =>
+      (if (i % 2 == 0) "hot" else s"t${i % 40}", i.toLong)).toDF("token", "uri")
+    val right = (0 until 200).map(i =>
+      (if (i % 4 == 0) "hot" else s"t${i % 40}", i)).toDF("token", "rowNum")
+    val plain = left.join(right, "token")
+      .select("token", "uri", "rowNum").as[(String, Long, Int)].collect().toSet
+    val split = Salt.skewSplitJoin(left, right, "token", 8, 1000, Seq("uri"))
+      .select("token", "uri", "rowNum").as[(String, Long, Int)].collect().toSet
+    assert(split === plain)
+  }
+
+  test("salted candidate token join (pipeline path) matches unsalted output") {
+    // skewed fixture: every entity name shares the stop-ish token "club";
+    // rare tokens identify the entity. saltHotTokenDf=50 salts "club".
+    val names = (0 until 300).map(i => (s"u$i", 0, i.toLong, 2, s"club n$i"))
+    val index = names.toDF("uri", "classId", "nameId", "nNameTok", "name")
+      .select(col("uri"), col("classId"), col("nameId"), col("nNameTok"),
+        explode(split(col("name"), " ")).as("token"))
+    val cells = (0 until 40).map(i =>
+      ("t1", i, 0, "text", s"club n$i", null: String))
+      .toDF("tableName", "rowNum", "colIdx", "kind", "text", "mediaRef")
+    val keyCols = Seq(("t1", 0)).toDF("tableName", "colIdx")
+    def run(salt: Long) = graft.pipeline.Candidates
+      .generate(cells, keyCols, index, 5, 0.2, saltHotTokenDf = salt)
+      .select("tableName", "rowNum", "uri", "score")
+      .as[(String, Int, String, Double)].collect().toSet
+    val unsalted = run(0)
+    val salted = run(50)
+    assert(unsalted.nonEmpty)
+    assert(salted === unsalted)
+  }
 }
