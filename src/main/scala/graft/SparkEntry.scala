@@ -435,6 +435,35 @@ object SparkEntry {
           size(col("feature")).as("feature_dim"))
     }),
 
+    // North-star parity row (BASELINE.json: P/R vs the reference's own
+    // emitted output): our committed T2D schema-correspondence artifact
+    // (BENCH/t2d_schema_correspondences.csv, produced by T2KMain on the
+    // reference's shipped data/T2K corpus) against the one artifact the
+    // reference ships (/root/reference/output/SF_schema_correspondences
+    // .csv). Both engines compute the same P/R/F1 from the same two CSVs
+    // — the row documents the measured parity in CORRECTNESS.
+    "q_reference_parity" -> ((s, dir) => {
+      val ours = s.read.option("header", "true")
+        .csv("/root/repo/BENCH/t2d_schema_correspondences.csv")
+        .select(col("id1"), col("id2")).distinct()
+      val ref = s.read.csv("/root/reference/output/SF_schema_correspondences.csv")
+        .select(col("_c0").as("id1"), col("_c1").as("id2")).distinct()
+      val tp = ours.join(ref, Seq("id1", "id2"), "left_semi").count()
+      val no = ours.count()
+      val nr = ref.count()
+      val prec = tp.toDouble / no
+      val rec = tp.toDouble / nr
+      val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+      s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(tp, no, nr, prec, rec, f1)),
+        StructType(Seq(StructField("tp", org.apache.spark.sql.types.LongType),
+          StructField("n_ours", org.apache.spark.sql.types.LongType),
+          StructField("n_ref", org.apache.spark.sql.types.LongType),
+          StructField("prec", org.apache.spark.sql.types.DoubleType),
+          StructField("rec", org.apache.spark.sql.types.DoubleType),
+          StructField("f1", org.apache.spark.sql.types.DoubleType))))
+    }),
+
     // full T2K pipeline on the deterministic micro corpus (rows-only)
     "q_t2k_triples" -> ((s, dir) => entry(s).select(
       col("subjectUri").as("subject_uri"), col("predicateUri").as("predicate_uri"),
@@ -649,9 +678,10 @@ object SparkEntry {
         | UNION ALL SELECT 'cust' || c_nationkey, 1, c_name FROM customer
         | UNION ALL SELECT 'cust' || c_nationkey, 2, c_mktsegment FROM customer),
         |st AS (SELECT tn, ci, count(*) AS n,
-        |  sum(CASE WHEN regexp_matches(v, '^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$') THEN 1 ELSE 0 END) AS nnum,
-        |  sum(CASE WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}([ T].*)?$|^(18|19|20|21)\d{2}$') THEN 1 ELSE 0 END) AS ndate,
+        |  sum(CASE WHEN regexp_matches(v, '^[+-]?(\d{1,3}(,\d{3})+|\d+\.?\d*|\.\d+)\s*(m|km|mi|ft|yd|in|cm|mm|kg|g|lb|t|mhz|khz|ghz|hz|kw|mw|gw|ha|%)?$', 'i') THEN 1 ELSE 0 END) AS nnum,
+        |  sum(CASE WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}([ T].*)?$|^(18|19|20|21)\d{2}$|^\d{1,2}/\d{1,2}/\d{4}$|^\d{1,2}/\d{1,2}/\d{2}$') THEN 1 ELSE 0 END) AS ndate,
         |  count(DISTINCT v) * 1.0 / count(v) AS uniq,
+        |  count(v) * 1.0 / count(*) AS cov,
         |  avg(length(v)) AS avg_len,
         |  avg(CASE WHEN v IS NOT NULL AND length(v) > 0
         |    THEN CAST(length(regexp_replace(v, '[^0-9]', '', 'g')) AS DOUBLE) / length(v) END) AS digit_frac
@@ -659,7 +689,7 @@ object SparkEntry {
         |strs AS (SELECT * FROM st WHERE NOT (ndate * 2 > n) AND NOT (nnum * 2 > n))
         |SELECT tn AS table_name, ci AS col_idx FROM strs
         |QUALIFY row_number() OVER (PARTITION BY tn ORDER BY
-        |  (coalesce(avg_len, 0) < 4), uniq * (1 - coalesce(digit_frac, 0)) DESC, ci) = 1""".stripMargin,
+        |  (coalesce(avg_len, 0) < 4), uniq * (1 - coalesce(digit_frac, 0)) * cov DESC, ci) = 1""".stripMargin,
 
     "q_canonicalize" ->
       """SELECT p_partkey AS id,
@@ -706,6 +736,20 @@ object SparkEntry {
         |  s00 + s11 + s22, s00 + s12 + s21, s01 + s10 + s22,
         |  s01 + s12 + s20, s02 + s10 + s21, s02 + s11 + s20), 6) AS total_score
         |FROM g""".stripMargin,
+
+    "q_reference_parity" ->
+      """WITH o AS (SELECT DISTINCT id1, id2
+        |  FROM read_csv('/root/repo/BENCH/t2d_schema_correspondences.csv', header=true, all_varchar=true)),
+        |r AS (SELECT DISTINCT column0 AS id1, column1 AS id2
+        |  FROM read_csv('/root/reference/output/SF_schema_correspondences.csv', header=false, all_varchar=true)),
+        |c AS (SELECT (SELECT count(*) FROM o JOIN r USING (id1, id2)) AS tp,
+        |  (SELECT count(*) FROM o) AS no, (SELECT count(*) FROM r) AS nr)
+        |SELECT tp, no AS n_ours, nr AS n_ref,
+        | CAST(tp AS DOUBLE) / no AS prec, CAST(tp AS DOUBLE) / nr AS rec,
+        | CASE WHEN CAST(tp AS DOUBLE) / no + CAST(tp AS DOUBLE) / nr = 0 THEN 0.0
+        |  ELSE 2 * (CAST(tp AS DOUBLE) / no) * (CAST(tp AS DOUBLE) / nr) /
+        |   ((CAST(tp AS DOUBLE) / no) + (CAST(tp AS DOUBLE) / nr)) END AS f1
+        |FROM c""".stripMargin,
 
     "q_onetoone_assign" ->
       """WITH e AS (SELECT p_brand AS gk, CAST(p_partkey % 2 AS INT) AS l,

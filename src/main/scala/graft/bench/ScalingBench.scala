@@ -26,9 +26,31 @@ object ScalingBench {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** One full pipeline run; returns (docs processed, wall seconds). */
-  def runOnce(cores: Int, cfg: ScaleGen.Config, dataDir: String): (Long, Double) = {
+  /** Task-level CPU-vs-wall accounting (TaskMetrics): executorCpuTime is
+    * time ON CPU; executorRunTime includes memory stalls, shuffle fetch
+    * waits and spill I/O. cpu/run per core-second quantifies how much of
+    * the added parallelism the DRAM wall eats on a one-socket proxy. */
+  private class CpuWallListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime) }
+    }
+    def cpuSec: Double = cpuNs.get / 1e9
+    def runSec: Double = runMs.get / 1e3
+    def cpuFraction: Double = if (runSec > 0) cpuSec / runSec else 0.0
+  }
+
+  case class RunStats(nDocs: Long, wallSec: Double, cpuSec: Double, runSec: Double) {
+    def cpuFraction: Double = if (runSec > 0) cpuSec / runSec else 0.0
+  }
+
+  /** One full pipeline run with task CPU/run accounting. */
+  def runOnce(cores: Int, cfg: ScaleGen.Config, dataDir: String): RunStats = {
     val spark = session(cores)
+    val listener = new CpuWallListener
+    spark.sparkContext.addSparkListener(listener)
     try {
       val docs = spark.read.parquet(s"$dataDir/docs.parquet")
       val kbLong = spark.read.parquet(s"$dataDir/kb_long.parquet")
@@ -46,7 +68,12 @@ object ScalingBench {
         .parquet(s"$dataDir/out_triples_c$cores.parquet")
       System.err.println(f"[stage] triples_write          ${(System.nanoTime() - tw) / 1e9}%8.2f s")
       val secs = (System.nanoTime() - t0) / 1e9
-      (nDocs, secs)
+      // let the async listener bus drain before reading the counters
+      // (listenerBus.waitUntilEmpty is private[spark])
+      Thread.sleep(2000)
+      System.err.println(f"[cpu] cores=$cores taskCpu=${listener.cpuSec}%.1f s " +
+        f"taskRun=${listener.runSec}%.1f s cpuFraction=${listener.cpuFraction}%.3f")
+      RunStats(nDocs, secs, listener.cpuSec, listener.runSec)
     } finally spark.stop()
   }
 
@@ -90,9 +117,11 @@ object ScalingBench {
         .parquet(s"$dataDir/surface_forms.parquet")
     } finally gen.stop()
 
-    val (nDocsW, _) = runOnce(nHigh, cfg, dataDir)        // warm-up (JIT)
-    val (nDocs, tHigh) = runOnce(nHigh, cfg, dataDir)
-    val (_, tLow) = runOnce(nLow, cfg, dataDir)
+    runOnce(nHigh, cfg, dataDir)                          // warm-up (JIT)
+    val high = runOnce(nHigh, cfg, dataDir)
+    val low = runOnce(nLow, cfg, dataDir)
+    val nDocs = high.nDocs
+    val (tLow, tHigh) = (low.wallSec, high.wallSec)
     val thrLow = nDocs / tLow
     val thrHigh = nDocs / tHigh
     val eff = (tLow / tHigh) / (nHigh.toDouble / nLow)
@@ -105,12 +134,16 @@ object ScalingBench {
       f""""docs":$nDocs,"coresLow":$nLow,"coresHigh":$nHigh,""" +
       f""""secsLow":$tLow%.2f,"secsHigh":$tHigh%.2f,""" +
       f""""docsPerSecLow":$thrLow%.1f,"docsPerSecHigh":$thrHigh%.1f,""" +
+      f""""taskCpuFracLow":${low.cpuFraction}%.3f,"taskCpuFracHigh":${high.cpuFraction}%.3f,""" +
+      f""""taskCpuSecLow":${low.cpuSec}%.1f,"taskCpuSecHigh":${high.cpuSec}%.1f,""" +
+      f""""taskRunSecLow":${low.runSec}%.1f,"taskRunSecHigh":${high.runSec}%.1f,""" +
       f""""cpuProbeSecsLow":$pLow%.2f,"cpuProbeSecsHigh":$pHigh%.2f,""" +
       f""""cpuProbeEfficiency":$pEff%.3f}"""
     println(json)
     val line = f"| ${java.time.LocalDate.now} | $nDocs docs | local[$nLow]: $thrLow%.0f docs/s " +
       f"(${tLow}%.1f s) | local[$nHigh]: $thrHigh%.0f docs/s (${tHigh}%.1f s) | $eff%.3f | " +
-      f"cpu-probe: ${pLow}%.1f s vs ${pHigh}%.1f s -> $pEff%.3f |\n"
+      f"cpu-probe: ${pLow}%.1f s vs ${pHigh}%.1f s -> $pEff%.3f | " +
+      f"task cpu/run: ${low.cpuFraction}%.3f vs ${high.cpuFraction}%.3f |\n"
     val p = Paths.get("BENCH")
     Files.createDirectories(p)
     val f = p.resolve("BASELINE.md")

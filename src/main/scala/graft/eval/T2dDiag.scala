@@ -67,9 +67,11 @@ object T2dDiag {
       val nGold = gs.count()
       val index = CandidateIndex.build(kb.cells, sf).cache()
 
-      for ((label, n, th) <- Seq(("selection(50,0.2)", 50, 0.2),
-                                 ("refinement-unfiltered(100,0.7)", 100, 0.7))) {
-        val cands = Candidates.generate(cells, keyCols, index, n, th)
+      for ((label, n, th, idf) <- Seq(("selection(50,0.2)", 50, 0.2, false),
+                                 ("selection(50,0.2,IDF-rank)", 50, 0.2, true),
+                                 ("refinement-unfiltered(100,0.7)", 100, 0.7, false))) {
+        val cands = Candidates.generate(cells, keyCols, index, n, th,
+          rankByIdf = idf)
         val hit = gs.join(cands, Seq("tableName", "rowNum", "uri"), "left_semi").count()
         println(f"DIAG candidate recall $label: $hit/$nGold = ${hit.toDouble / nGold}%.4f")
       }

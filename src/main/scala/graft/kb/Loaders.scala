@@ -127,7 +127,16 @@ object Loaders {
           val data = rows.tail.zipWithIndex.map { case (r, k) =>
             Doc(s"$name#r$k",
               r.toSeq.zipWithIndex.map { case (v, i) =>
-                val t = if (v == null || v.isEmpty || v.equalsIgnoreCase("null")) null else v
+                // HTML entities survive in crawled cells ("&nbsp;31056997"
+                // broke numeric typing on T2D); decode the common ones +
+                // trim, like WInte.r's web-table string normalisation
+                val cleaned =
+                  if (v == null) null
+                  else v.replace("&nbsp;", " ").replace("&amp;", "&")
+                    .replace("&lt;", "<").replace("&gt;", ">")
+                    .replace("&quot;", "\"").replace("&#39;", "'").trim
+                val t = if (cleaned == null || cleaned.isEmpty ||
+                  cleaned.equalsIgnoreCase("null")) null else cleaned
                 Span("text", t, null, i)
               })
           }

@@ -52,7 +52,9 @@ object SpanCodec {
       .select(col("tableName"), col("colIdx"), col("text").as("header"))
 
   private val datePat = graft.util.SafeCast.datePat
-  private val numPat = graft.util.SafeCast.numPat
+  // web cells use the tolerant pattern (comma groups, unit suffixes) —
+  // the KB side keeps the strict one (dump values are clean)
+  private val numPat = graft.util.SafeCast.webNumPat
 
   /** Per-column type inference + stats, one distributed aggregation.
     * Majority vote over non-null text cells: date if >50% match ISO date,
@@ -77,6 +79,8 @@ object SpanCodec {
       max(when(col("isDate"), year(col("dateVal")))).as("maxYear"),
       (countDistinct(col("text")).cast(DoubleType) /
         greatest(count(col("text")), lit(1)).cast(DoubleType)).as("uniqueness"),
+      (count(col("text")).cast(DoubleType) /
+        greatest(count(lit(1)), lit(1)).cast(DoubleType)).as("coverage"),
       avg(length(col("text"))).as("avgLen"),
       avg(when(col("text").isNotNull && length(col("text")) > 0,
         length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
@@ -89,7 +93,7 @@ object SpanCodec {
     withType.join(headers(docs), Seq("tableName", "colIdx"), "left")
       .select(col("tableName"), col("colIdx"), col("header"), col("dtype"),
         col("kurtosis"), col("minYear"), col("maxYear"), col("uniqueness"),
-        col("avgLen"), col("digitFrac"))
+        col("coverage"), col("avgLen"), col("digitFrac"))
   }
 
   /** Re-encode cells back into the docs shape (for round-trip testing and

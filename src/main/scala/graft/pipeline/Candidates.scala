@@ -133,6 +133,91 @@ object Candidates {
         (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
   }
 
+  /** Fuzzy (ED <= maxEditDistance) scores per (row, candidate name) for
+    * the key-token rows in `kt` — the deletion-neighborhood join leg.
+    * The fuzzy intersection is bounded by BOTH sides: countDistinct of
+    * key tokens alone can exceed the matched index tokens (two key tokens
+    * hitting one index token), pushing jaccardFuzzy past 1.0 and above a
+    * true exact match. ED is verified with levenshtein (the neighborhood
+    * intersection alone admits distance-2 pairs). */
+  private def fuzzyPerName(kt: DataFrame, candidateTokens: DataFrame,
+                           classesPerTable: Option[DataFrame],
+                           maxEditDistance: Int, variantDfCap: Long,
+                           variants: Option[DataFrame]): DataFrame = {
+    // key side (small): self + deletion variants
+    val ktv = kt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
+      col("token").as("keyToken"),
+      explode(concat(array(col("token")), deletions(col("token")))).as("variant"))
+    // index side: prebuilt (checkpointed) when the caller has one — the
+    // expansion is a pure function of the KB, so rebuilding it per call
+    // wastes a full index scan + df-count shuffle every time.
+    val idxv = variants.getOrElse(variantIndex(candidateTokens, variantDfCap))
+    val hits0 = ktv.join(idxv, "variant")
+    val hits = classesPerTable match {
+      case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
+        Seq("tableName", "classId"), "left_semi")
+      case None => hits0
+    }
+    hits
+      .filter(col("keyToken") === col("idxToken") ||
+        levenshtein(col("keyToken"), col("idxToken")) <= maxEditDistance)
+      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+        col("nameId"), col("nNameTok"), col("nKeyTok"))
+      .agg(countDistinct(when(col("keyToken") === col("idxToken"),
+        col("keyToken"))).as("shared"),
+        least(countDistinct(col("keyToken")),
+          countDistinct(col("idxToken"))).as("sharedFuzzy"))
+      .withColumn("jaccardExact", col("shared").cast("double") /
+        (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+      .withColumn("jaccardFuzzy", col("sharedFuzzy").cast("double") /
+        (col("nKeyTok") + col("nNameTok") - col("sharedFuzzy")).cast("double"))
+      .withColumn("jaccard",
+        greatest(col("jaccardExact"), col("jaccardFuzzy") * 0.999))
+  }
+
+  /**
+   * Refinement pass DERIVED FROM the selection output instead of a second
+   * full token join (the reference re-queries its index per row with
+   * top-100/th-0.7; every exact candidate at >= 0.7 is, in practice, in
+   * selection's class-filtered top-50 already — jaccard >= 0.7 ranks far
+   * above the 0.2 selection floor). Rows WITH a class-filtered exact
+   * candidate >= `simThreshold` keep that candidate set; rows WITHOUT one
+   * (the misses) take the deletion-variant fuzzy leg, exactly like the
+   * reference's per-row `~1` fallback. The expensive variant join is
+   * proportional to the MISS count, and the exact token join is not
+   * repeated at all — on the T2D corpus this replaced a 270-440 s stage
+   * with the fuzzy leg over ~half the rows.
+   */
+  def refineFromSelection(selection: DataFrame, classesPerTable: DataFrame,
+                          cells: DataFrame, keyCols: DataFrame,
+                          candidateTokens: DataFrame,
+                          numCandidates: Int, simThreshold: Double,
+                          maxEditDistance: Int = 1, variantDfCap: Long = 2000,
+                          variants: Option[DataFrame] = None): DataFrame = {
+    val filtered = selection.join(classesPerTable.select("tableName", "classId"),
+      Seq("tableName", "classId"), "left_semi")
+    val exactHits = filtered.filter(col("score") >= simThreshold)
+    val perUri =
+      if (maxEditDistance <= 0) exactHits
+      else {
+        val hitRows = exactHits.select("tableName", "rowNum").distinct()
+        val missKt = keyTokens(cells, keyCols)
+          .join(hitRows, Seq("tableName", "rowNum"), "left_anti")
+        val fuzzy = fuzzyPerName(missKt, candidateTokens, Some(classesPerTable),
+          maxEditDistance, variantDfCap, variants)
+          .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))
+          .agg(max(col("jaccard")).as("score"))
+          .filter(col("score") >= simThreshold)
+        exactHits.select("tableName", "rowNum", "uri", "classId", "score")
+          .unionByName(fuzzy)
+      }
+    val w = Window.partitionBy(col("tableName"), col("rowNum"))
+      .orderBy(col("score").desc, col("uri").asc)
+    perUri.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= numCandidates).drop("rk")
+      .select("tableName", "rowNum", "uri", "classId", "score")
+  }
+
   def generate(cells: DataFrame, keyCols: DataFrame, candidateTokens: DataFrame,
                numCandidates: Int, simThreshold: Double,
                classesPerTable: Option[DataFrame] = None,
@@ -156,49 +241,19 @@ object Candidates {
         // Lazy lineage cut: the exact leg feeds both the miss-row filter
         // and the result union — cached at its first action, reclaimed by
         // the ContextCleaner (no CacheManager entry to leak across calls).
+        // SERIALIZED storage: the default deserialized blocks are ~10x the
+        // on-wire size and OOM'd a 32-thread 8g JVM on the T2D corpus
+        // while the per-name aggregation was still running alongside.
         val exact = exactPerName(kt, candidateTokens, classesPerTable,
-          withIdf = false, saltHotTokenDf).localCheckpoint(false)
+          withIdf = false, saltHotTokenDf).localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val hitRows = exact.groupBy(col("tableName"), col("rowNum"))
           .agg(max(col("jaccard")).as("best"))
           .filter(col("best") >= simThreshold)
           .select("tableName", "rowNum")
         val missKt = kt.join(hitRows, Seq("tableName", "rowNum"), "left_anti")
-        // key side (small): self + deletion variants
-        val ktv = missKt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
-          col("token").as("keyToken"),
-          explode(concat(array(col("token")), deletions(col("token")))).as("variant"))
-        // index side: prebuilt (checkpointed) when the caller has one —
-        // the expansion is a pure function of the KB, so rebuilding it per
-        // call wastes a full index scan + df-count shuffle every time.
-        val idxv = variants.getOrElse(variantIndex(candidateTokens, variantDfCap))
-        val hits0 = ktv.join(idxv, "variant")
-        val hits = classesPerTable match {
-          case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
-            Seq("tableName", "classId"), "left_semi")
-          case None => hits0
-        }
-        // verify ED <= maxEditDistance (neighborhood intersection alone
-        // admits distance-2 pairs), dedup multi-variant matches, then
-        // count matched DISTINCT key tokens (fuzzy) vs equal tokens (exact).
-        // The fuzzy intersection is bounded by BOTH sides: countDistinct of
-        // key tokens alone can exceed the matched index tokens (two key
-        // tokens hitting one index token), pushing jaccardFuzzy past 1.0
-        // and above a true exact match.
-        val fuzzy = hits
-          .filter(col("keyToken") === col("idxToken") ||
-            levenshtein(col("keyToken"), col("idxToken")) <= maxEditDistance)
-          .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
-            col("nameId"), col("nNameTok"), col("nKeyTok"))
-          .agg(countDistinct(when(col("keyToken") === col("idxToken"),
-            col("keyToken"))).as("shared"),
-            least(countDistinct(col("keyToken")),
-              countDistinct(col("idxToken"))).as("sharedFuzzy"))
-          .withColumn("jaccardExact", col("shared").cast("double") /
-            (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
-          .withColumn("jaccardFuzzy", col("sharedFuzzy").cast("double") /
-            (col("nKeyTok") + col("nNameTok") - col("sharedFuzzy")).cast("double"))
-          .withColumn("jaccard",
-            greatest(col("jaccardExact"), col("jaccardFuzzy") * 0.999))
+        val fuzzy = fuzzyPerName(missKt, candidateTokens, classesPerTable,
+          maxEditDistance, variantDfCap, variants)
         // union is exact-for-hit-rows ∪ fuzzy-for-miss-rows: the fuzzy leg
         // re-derives every exact share of a miss row through self-variants,
         // and its greatest() score dominates the exact leg's, so the

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
  */
 object Keys {
 
-  /** webCols -> (tableName, colIdx) of the key column per table. */
+  /** webCols -> (tableName, colIdx) of the key column per table. The
+    * coverage factor (non-null fraction) keeps sparse columns from
+    * winning: a mostly-empty column's few non-null values are trivially
+    * unique (T2D tables pad with "&nbsp;", which decodes to null). */
   def detect(webCols: DataFrame, minUniqueness: Double = 0.0): DataFrame = {
     val score = col("uniqueness") *
-      (lit(1.0) - coalesce(col("digitFrac"), lit(0.0)))
+      (lit(1.0) - coalesce(col("digitFrac"), lit(0.0))) *
+      coalesce(col("coverage"), lit(1.0))
     val isShort = coalesce(col("avgLen"), lit(0.0)) < 4.0
     val w = Window.partitionBy(col("tableName"))
       .orderBy(isShort.asc, score.desc, col("colIdx").asc)

@@ -32,7 +32,7 @@ case class T2KConfig(
   numIterations: Int = 1,                                             // T2KMatch.java:153-154
   tokenDfCap: Long = 100000, mappedRatio: Double = 0.0,
   variantDfCap: Long = 2000,                                          // fuzzy deletion-variant df guard
-  idfRanking: Boolean = false,                                        // IDF-weighted selection cut (Lucene TF-IDF analog)
+  idfRanking: Boolean = true,                                         // IDF-weighted selection cut (Lucene TF-IDF analog; measured +0.34pp T2D selection recall, no loss)
   saltHotTokenDf: Long = 0)                                           // >0: salt the candidate token join for tokens at/above this df
 
 case class T2KResult(instanceCorrs: DataFrame, schemaCorrs: DataFrame,
@@ -85,26 +85,31 @@ object T2KPipeline {
 
     // window top-N stages coalesce to ~1 partition under AQE at small
     // corpus sizes, serialising every downstream task (manifest evidence:
-    // candidates_refined landed in 1 partition). Explicit N defeats the
-    // coalesce; the key layout matches the downstream joins.
+    // candidates_refined landed in 1 partition). Round-robin with explicit
+    // N: a hash repartition on the window's own keys is ELIDED as
+    // redundant (the window's exchange already satisfies it) and then
+    // AQE-coalesced — measured: repartition(32, tableName, rowNum) after
+    // the top-N window still wrote 1 file. Downstream joins reshuffle on
+    // their own keys regardless, so round-robin loses nothing.
     val nShuffle = docs.sparkSession.sessionState.conf.numShufflePartitions
-    def spread(df: DataFrame): DataFrame =
-      df.repartition(nShuffle, col("tableName"), col("rowNum"))
+    def spread(df: DataFrame): DataFrame = df.repartition(nShuffle)
 
     // --- candidate selection (B1 + R1/R2) -------------------------------
-    // consumed once (class decision) — no barrier needed
-    val selection = Candidates.generate(
+    // checkpointed: consumed by the class decision AND as the refinement
+    // pass's exact leg (refineFromSelection) — the token join runs ONCE.
+    val selection = ckpt("candidates_selected", spread(Candidates.generate(
       cells, keyCols, index, cfg.selectionCandidates, cfg.selectionThreshold,
-      rankByIdf = cfg.idfRanking, saltHotTokenDf = cfg.saltHotTokenDf)
+      rankByIdf = cfg.idfRanking, saltHotTokenDf = cfg.saltHotTokenDf)))
 
     // --- class decision (A1-A3) -----------------------------------------
     val classes0 = cache(Classes.decide(selection, kb.classes,
       cfg.classConsensus, cfg.classFallbackTopK))
 
     // --- candidate refinement (class-filtered, th 0.7, fuzzy-on-miss) ---
-    val refined = ckpt("candidates_refined", spread(Candidates.generate(
-      cells, keyCols, index, cfg.refinementCandidates, cfg.refinementThreshold,
-      Some(classes0), cfg.refinementEditDistance, cfg.variantDfCap, variants)))
+    val refined = ckpt("candidates_refined", spread(
+      Candidates.refineFromSelection(selection, classes0, cells, keyCols,
+        index, cfg.refinementCandidates, cfg.refinementThreshold,
+        cfg.refinementEditDistance, cfg.variantDfCap, variants)))
 
     // --- first duplicate-based schema matching + class refinement -------
     val pairs0 = Schema.blockPairs(webCols, classes0, kbPropsByClass, cfg.kurtosisMin)
