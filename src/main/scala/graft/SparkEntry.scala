@@ -194,12 +194,11 @@ object SparkEntry {
           lit(0).as("classId"),
           xxhash64(concat_ws(" ", col("toks"))).as("nameId"),
           col("n").as("nNameTok"), explode(col("toks")).as("token"))
-      // variantDfCap = unbounded HERE ONLY: the DuckDB oracle does an
-      // uncapped levenshtein join, so the capped engine would diverge once
-      // a deletion shape's df crosses the cap at larger SFs. The cap (a
-      // scale guard, default 2000 in the pipeline) is covered by its own
-      // spec, not by this oracle.
-      Candidates.generate(cells, keyCols, index, 5, 0.5, None, 1, Long.MaxValue)
+      // the variant cap applies at the DISTINCT-TOKEN level (deletion
+      // shapes shared by > 2000 distinct tokens), which never triggers on
+      // a realistic vocabulary — engine and the uncapped DuckDB
+      // levenshtein oracle agree at any SF.
+      Candidates.generate(cells, keyCols, index, 5, 0.5, None, 1)
         .select(col("rowNum").as("row_id"), col("uri"), col("score"))
     }),
 

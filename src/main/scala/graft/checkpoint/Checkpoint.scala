@@ -48,11 +48,17 @@ object LocalCheckpointer extends Checkpointer {
     df.localCheckpoint(eager = false)
 }
 
-/** LocalCheckpointer + per-stage wall-time on stderr (bench profiling). */
+/** LocalCheckpointer + per-stage wall-time on stderr (bench profiling).
+  * Each stage's eager materialisation runs under a job group named after
+  * the stage, so a listener can attribute task CPU/run time per pipeline
+  * stage (ScalingBench's DRAM-wall accounting). */
 object TimedLocalCheckpointer extends Checkpointer {
   def apply(name: String, df: => DataFrame): DataFrame = {
+    val d = df
+    val sc = d.sparkSession.sparkContext
     val t0 = System.nanoTime()
-    val out = df.localCheckpoint()
+    sc.setJobGroup(name, s"stage $name")
+    val out = try d.localCheckpoint() finally sc.clearJobGroup()
     System.err.println(f"[stage] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     out
   }

@@ -57,26 +57,30 @@ object Candidates {
           token.substr(i + 2, length(token))))))
 
   /**
-   * Deletion-variant expansion of the candidate-token index — a pure
-   * function of the KB, so build it ONCE (and checkpoint it next to
-   * `candidate_tokens`) instead of re-expanding inside every `generate`
-   * call: the per-call rebuild was the T2D run's hot spot (270 s of a
-   * 20-min run for the refinement stage alone).
+   * Deletion-variant expansion of the index's DISTINCT TOKENS — a pure
+   * function of the KB, built ONCE (and checkpointed next to
+   * `candidate_tokens`) instead of re-expanded inside every `generate`
+   * call. Token-level, not row-level: the ED-1 neighborhood of a Zipfian
+   * corpus is bounded by |vocabulary|, so expanding VOCABULARY entries
+   * (and equi-joining rows back through the verified token pairs) keeps
+   * the fuzzy leg's shuffle at the exact leg's scale — the row-level
+   * expansion put every occurrence of a hot token through the variant
+   * join (165M-row blowups at sf0.1; the round-2 `variantDfCap` silently
+   * dropped hot shapes to survive, diverging from the uncapped oracle).
    *
-   * Self-variants (the exact path) are kept unconditionally; DELETION
-   * variants above `variantDfCap` document frequency are dropped — hot
-   * deletion shapes ("ats" from cats/bats/rats) otherwise degenerate the
-   * variant join into a quadratic bucket.
+   * Self-variants are kept unconditionally; deletion variants shared by
+   * more than `variantDfCap` DISTINCT tokens are dropped — at token
+   * level the cap only triggers on degenerate vocabularies, so engine
+   * and (uncapped) oracle agree at any realistic scale.
    */
   def variantIndex(candidateTokens: DataFrame, variantDfCap: Long = 2000): DataFrame = {
-    val idxCols = Seq(col("uri"), col("classId"), col("nameId"),
-      col("nNameTok"), col("token").as("idxToken"))
-    val idxSelf = candidateTokens.select(idxCols :+ col("token").as("variant"): _*)
-    val idxDel0 = candidateTokens.select(
-      idxCols :+ explode(deletions(col("token"))).as("variant"): _*)
-    val delDf = idxDel0.groupBy("variant").agg(count(lit(1)).as("_df"))
+    val toks = candidateTokens.select(col("token").as("idxToken")).distinct()
+    val self = toks.select(col("idxToken"), col("idxToken").as("variant"))
+    val del0 = toks.select(col("idxToken"),
+      explode(deletions(col("idxToken"))).as("variant"))
+    val delDf = del0.groupBy("variant").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= variantDfCap).drop("_df")
-    idxSelf.unionByName(idxDel0.join(delDf, "variant"))
+    self.unionByName(del0.join(delDf, "variant"))
   }
 
   /**
@@ -144,23 +148,34 @@ object Candidates {
                            classesPerTable: Option[DataFrame],
                            maxEditDistance: Int, variantDfCap: Long,
                            variants: Option[DataFrame]): DataFrame = {
-    // key side (small): self + deletion variants
-    val ktv = kt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
-      col("token").as("keyToken"),
-      explode(concat(array(col("token")), deletions(col("token")))).as("variant"))
+    // 1) ED pairs at the DISTINCT-TOKEN level: key vocabulary x index
+    // vocabulary through the shared deletion neighborhood, levenshtein-
+    // verified (the neighborhood intersection alone admits distance-2
+    // pairs). Bounded by vocabulary sizes, not corpus size.
+    val kTok = kt.select(col("token")).distinct()
+      .select(col("token").as("keyToken"),
+        explode(concat(array(col("token")), deletions(col("token")))).as("variant"))
     // index side: prebuilt (checkpointed) when the caller has one — the
     // expansion is a pure function of the KB, so rebuilding it per call
     // wastes a full index scan + df-count shuffle every time.
     val idxv = variants.getOrElse(variantIndex(candidateTokens, variantDfCap))
-    val hits0 = ktv.join(idxv, "variant")
+    val edPairs = kTok.join(idxv, "variant")
+      .select("keyToken", "idxToken").distinct()
+      .filter(col("keyToken") === col("idxToken") ||
+        levenshtein(col("keyToken"), col("idxToken")) <= maxEditDistance)
+    // 2) rows join through the verified pairs — two equi-joins at the
+    // exact leg's scale; the variant fan-out never touches row payloads.
+    val hits0 = kt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
+        col("token").as("keyToken"))
+      .join(edPairs, "keyToken")
+      .join(candidateTokens.select(col("uri"), col("classId"), col("nameId"),
+        col("nNameTok"), col("token").as("idxToken")), "idxToken")
     val hits = classesPerTable match {
       case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
         Seq("tableName", "classId"), "left_semi")
       case None => hits0
     }
     hits
-      .filter(col("keyToken") === col("idxToken") ||
-        levenshtein(col("keyToken"), col("idxToken")) <= maxEditDistance)
       .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
         col("nameId"), col("nNameTok"), col("nKeyTok"))
       .agg(countDistinct(when(col("keyToken") === col("idxToken"),
