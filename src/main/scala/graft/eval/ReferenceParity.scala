@@ -62,8 +62,14 @@ object ReferenceParity {
 
     // (b) the SF label-matcher output (groupKey = "<table>|<classId>")
     opts.get("ours-sf").foreach { p =>
-      val props = spark.read.parquet(opts("props"))
-        .select(col("propId"), col("propUri"))
+      val props = opts.get("props") match {
+        case Some(pp) => spark.read.parquet(pp).select(col("propId"), col("propUri"))
+        case None => // rebuild the propId map from the KB dumps
+          val hierarchy = opts.get("ontology")
+            .map(graft.kb.Loaders.loadClassHierarchy(spark, _)).getOrElse(Nil)
+          graft.kb.Loaders.loadLodCsvDir(spark, opts("kb"), hierarchy)
+            .props.select(col("propId"), col("propUri"))
+      }
       val ours = spark.read.parquet(p)
         .select(split(col("groupKey"), "\\|").getItem(0).as("tableName"),
           col("left").as("colIdx"), col("right").as("propId"), col("score"))
