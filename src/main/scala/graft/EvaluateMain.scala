@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
  * (Canonicalizer.java:40-71), print P/R/F1.
  *
  * Usage: runMain graft.EvaluateMain --corrs <csv> --gs <csv> [--canonicalize true]
+ *
+ * Gold-standard conversion mode (reference GoldStandardConverter.java:32):
+ *   runMain graft.EvaluateMain --convert-gs <oldGsFileOrDir> --web <dir> --out <csv>
+ * converts the original per-table T2D gold format (rows `(uri, label)`,
+ * file name = table) to the `(table~RowK, uri, TRUE)` loader format.
  */
 object EvaluateMain {
   def main(args: Array[String]): Unit = {
@@ -26,6 +31,17 @@ object EvaluateMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    opts.get("convert-gs").foreach { oldGs =>
+      val docs = Loaders.loadWebTablesDir(spark, opts("web"))
+      val converted = Loaders.convertOldGoldStandard(spark, docs, oldGs)
+        .select(col("leftId"), col("rightId"),
+          when(col("isPositive"), "TRUE").otherwise("FALSE"))
+      converted.coalesce(1).write.mode("overwrite").csv(opts("out"))
+      println(s"converted ${converted.count()} gold rows -> ${opts("out")}")
+      spark.stop()
+      return
+    }
 
     var corrs = spark.read.csv(opts("corrs"))
       .select(col("_c0").as("leftId"), col("_c1").as("rightId"))

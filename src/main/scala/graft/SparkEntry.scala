@@ -28,6 +28,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Parity-artifact paths for `q_reference_parity` (env-overridable; the
+    * defaults are this sandbox's layout). Both the Spark entry and the
+    * generated DuckDB oracle interpolate the SAME values, so overriding
+    * the env re-points both engines consistently. */
+  private def parityOursCsv: String = sys.env.getOrElse("GRAFT_PARITY_OURS",
+    "/root/repo/BENCH/t2d_schema_correspondences.csv")
+  private def parityRefCsv: String = sys.env.getOrElse("GRAFT_PARITY_REF",
+    "/root/reference/output/SF_schema_correspondences.csv")
+
   /** Flagship: the full T2K matching pipeline on the micro corpus ->
     * extracted triples. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -189,16 +198,29 @@ object SparkEntry {
         org.apache.spark.sql.Row("part", 0)),
         StructType(Seq(StructField("tableName", StringType),
           StructField("colIdx", IntegerType))))
+      // The token index feeds THREE plan legs (exact join, fuzzy join,
+      // deletion-variant expansion): one lazy serialized localCheckpoint
+      // computes the scan+tokenize once, exactly like the pipeline's
+      // `candidate_tokens` checkpoint (T2KPipeline.scala).
       val index = pt
         .select(concat(lit("p"), lpad(col("id").cast("string"), 10, "0")).as("uri"),
           lit(0).as("classId"),
           xxhash64(concat_ws(" ", col("toks"))).as("nameId"),
           col("n").as("nNameTok"), explode(col("toks")).as("token"))
-      // the variant cap applies at the DISTINCT-TOKEN level (deletion
-      // shapes shared by > 2000 distinct tokens), which never triggers on
-      // a realistic vocabulary — engine and the uncapped DuckDB
-      // levenshtein oracle agree at any SF.
-      Candidates.generate(cells, keyCols, index, 5, 0.5, None, 1)
+        .localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // Prebuilt variant index, mirroring the pipeline's checkpointed
+      // `candidate_variants` stage — passing variants=None rebuilt the
+      // expansion (index scan + df-count shuffle) inside every bench
+      // invocation (the round-3 bench regression). The cap applies at the
+      // DISTINCT-TOKEN level (deletion shapes shared by > 2000 distinct
+      // tokens), which never triggers on a realistic vocabulary — engine
+      // and the uncapped DuckDB levenshtein oracle agree at any SF.
+      val variants = Candidates.variantIndex(index)
+        .localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      Candidates.generate(cells, keyCols, index, 5, 0.5, None, 1,
+        variants = Some(variants))
         .select(col("rowNum").as("row_id"), col("uri"), col("score"))
     }),
 
@@ -412,6 +434,22 @@ object SparkEntry {
           col("right").as("right_id"), col("score"))
     }),
 
+    // SF formula "B", ONE propagation step, no 1:1 filter — φ alone is
+    // the next score (σ' = φ(σ0+σ)), so with integer seeds the closed
+    // form ((2·total − 2·s_i)/(n−1), normalised by max) is bit-identical
+    // in DuckDB. Second SF fixpoint formula under full three-check oracle
+    // coverage (q_sf_basic covers Basic/A's seed+φ shape).
+    "q_sf_formula_b" -> ((s, dir) => {
+      val seeds = t(s, dir, "part")
+        .groupBy(col("p_brand").as("groupKey"),
+          pmod(col("p_partkey"), lit(6)).cast("int").as("left"),
+          pmod(col("p_partkey"), lit(4)).cast("int").as("right"))
+        .agg((pmod(min(col("p_partkey")), lit(11)) + 1).cast("double").as("score"))
+      SimilarityFlooding.run(seeds, "B", 0.1, "none", maxIter = 1)
+        .select(col("groupKey").as("group_key"), col("left").as("left_id"),
+          col("right").as("right_id"), col("score"))
+    }),
+
     // similarity-flooding score propagation per group (F1-F5; rows-only)
     "q_similarity_flooding" -> ((s, dir) => {
       val seeds = t(s, dir, "part")
@@ -443,15 +481,15 @@ object SparkEntry {
     // — the row documents the measured parity in CORRECTNESS.
     "q_reference_parity" -> ((s, dir) => {
       val ours = s.read.option("header", "true")
-        .csv("/root/repo/BENCH/t2d_schema_correspondences.csv")
+        .csv(parityOursCsv)
         .select(col("id1"), col("id2")).distinct()
-      val ref = s.read.csv("/root/reference/output/SF_schema_correspondences.csv")
+      val ref = s.read.csv(parityRefCsv)
         .select(col("_c0").as("id1"), col("_c1").as("id2")).distinct()
       val tp = ours.join(ref, Seq("id1", "id2"), "left_semi").count()
       val no = ours.count()
       val nr = ref.count()
-      val prec = tp.toDouble / no
-      val rec = tp.toDouble / nr
+      val prec = if (no == 0) 0.0 else tp.toDouble / no
+      val rec = if (nr == 0) 0.0 else tp.toDouble / nr
       val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
       s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
         org.apache.spark.sql.Row(tp, no, nr, prec, rec, f1)),
@@ -737,18 +775,20 @@ object SparkEntry {
         |FROM g""".stripMargin,
 
     "q_reference_parity" ->
-      """WITH o AS (SELECT DISTINCT id1, id2
-        |  FROM read_csv('/root/repo/BENCH/t2d_schema_correspondences.csv', header=true, all_varchar=true)),
+      s"""WITH o AS (SELECT DISTINCT id1, id2
+        |  FROM read_csv('$parityOursCsv', header=true, all_varchar=true)),
         |r AS (SELECT DISTINCT column0 AS id1, column1 AS id2
-        |  FROM read_csv('/root/reference/output/SF_schema_correspondences.csv', header=false, all_varchar=true)),
+        |  FROM read_csv('$parityRefCsv', header=false, all_varchar=true)),
         |c AS (SELECT (SELECT count(*) FROM o JOIN r USING (id1, id2)) AS tp,
-        |  (SELECT count(*) FROM o) AS no, (SELECT count(*) FROM r) AS nr)
-        |SELECT tp, no AS n_ours, nr AS n_ref,
-        | CAST(tp AS DOUBLE) / no AS prec, CAST(tp AS DOUBLE) / nr AS rec,
-        | CASE WHEN CAST(tp AS DOUBLE) / no + CAST(tp AS DOUBLE) / nr = 0 THEN 0.0
-        |  ELSE 2 * (CAST(tp AS DOUBLE) / no) * (CAST(tp AS DOUBLE) / nr) /
-        |   ((CAST(tp AS DOUBLE) / no) + (CAST(tp AS DOUBLE) / nr)) END AS f1
-        |FROM c""".stripMargin,
+        |  (SELECT count(*) FROM o) AS no, (SELECT count(*) FROM r) AS nr),
+        |p AS (SELECT tp, no, nr,
+        |  CASE WHEN no = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / no END AS prec,
+        |  CASE WHEN nr = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / nr END AS rec
+        | FROM c)
+        |SELECT tp, no AS n_ours, nr AS n_ref, prec, rec,
+        | CASE WHEN prec + rec = 0 THEN 0.0
+        |  ELSE 2 * prec * rec / (prec + rec) END AS f1
+        |FROM p""".stripMargin,
 
     "q_onetoone_assign" ->
       """WITH e AS (SELECT p_brand AS gk, CAST(p_partkey % 2 AS INT) AS l,
@@ -783,6 +823,45 @@ object SparkEntry {
         | rw.raw / m.mx AS score
         |FROM rw JOIN m ON rw.gk = m.gk
         |WHERE rw.raw / m.mx >= 0.1""".stripMargin,
+
+    // Flagship pipeline golden: the micro corpus is deterministic
+    // (fixtures/MicroCorpus.scala — fixed tables, fixed KB, one planted
+    // LCWA contradiction), so its full-pipeline triple set is a fixed
+    // 10-row golden, pinned here as a VALUES table. Regenerate with
+    // `runMain graft.tools.DumpGolden` after any semantic change.
+    "q_t2k_triples" ->
+      """SELECT * FROM (VALUES
+        | ('http://dbpedia.org/resource/Day_After', 'http://dbpedia.org/ontology/PopulatedPlace/author', 'gold amber', false, true),
+        | ('http://dbpedia.org/resource/Day_Before', 'http://dbpedia.org/ontology/PopulatedPlace/author', 'clara west', false, true),
+        | ('http://dbpedia.org/resource/Day_Go', 'http://dbpedia.org/ontology/PopulatedPlace/author', 'clara west', false, false),
+        | ('http://dbpedia.org/resource/Free_University_Berlin', 'http://dbpedia.org/ontology/year', '1975', false, true),
+        | ('http://dbpedia.org/resource/Gestern', 'http://dbpedia.org/ontology/PopulatedPlace/author', 'rachan thomas', false, true),
+        | ('http://dbpedia.org/resource/Morgen', 'http://dbpedia.org/ontology/PopulatedPlace/author', 'manner thomas', false, true),
+        | ('http://dbpedia.org/resource/Technical_University_Of_Darmstadt', 'http://dbpedia.org/ontology/year', '1945', false, true),
+        | ('http://dbpedia.org/resource/Technical_University_Of_Munich', 'http://dbpedia.org/ontology/year', '1985', false, true),
+        | ('http://dbpedia.org/resource/University_Of_Heidelberg', 'http://dbpedia.org/ontology/year', '1968', false, true),
+        | ('http://dbpedia.org/resource/University_Of_Mannheim', 'http://dbpedia.org/ontology/year', '1989', false, true)
+        |) AS t(subject_uri, predicate_uri, object_value, is_new, lcwa_correct)""".stripMargin,
+
+    // Engine op order mirrored exactly: base_i = s_i + s_i (exact integer
+    // double), total = Σ base (exact — integer-valued, order-free),
+    // φ_i = (1.0/(n−1)) · (total − base_i) (one rounding), score = φ_i/max
+    // (second rounding). n=1 groups: the engine floods to 0 and drops
+    // them; excluded here explicitly (0/0 is NaN in DuckDB).
+    "q_sf_formula_b" ->
+      """WITH e AS (SELECT p_brand AS gk, CAST(p_partkey % 6 AS INT) AS l,
+        |  CAST(p_partkey % 4 AS INT) AS r,
+        |  CAST(min(p_partkey) % 11 + 1 AS DOUBLE) AS score
+        | FROM part GROUP BY 1, 2, 3),
+        |g AS (SELECT gk, count(*) AS n, sum(score + score) AS total FROM e GROUP BY gk),
+        |rw AS (SELECT e.gk, e.l, e.r,
+        |  (1.0 / (g.n - 1)) * (g.total - (e.score + e.score)) AS raw
+        | FROM e JOIN g ON e.gk = g.gk WHERE g.n > 1),
+        |m AS (SELECT gk, max(raw) AS mx FROM rw GROUP BY gk)
+        |SELECT rw.gk AS group_key, rw.l AS left_id, rw.r AS right_id,
+        | rw.raw / m.mx AS score
+        |FROM rw JOIN m ON rw.gk = m.gk
+        |WHERE m.mx > 0 AND rw.raw / m.mx >= 0.1""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

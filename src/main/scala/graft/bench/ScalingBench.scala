@@ -104,9 +104,17 @@ object ScalingBench {
         .parquet(s"$dataDir/out_triples_c$cores.parquet")
       System.err.println(f"[stage] triples_write          ${(System.nanoTime() - tw) / 1e9}%8.2f s")
       val secs = (System.nanoTime() - t0) / 1e9
-      // let the async listener bus drain before reading the counters
-      // (listenerBus.waitUntilEmpty is private[spark])
-      Thread.sleep(2000)
+      // Drain the async listener bus before reading the counters
+      // (listenerBus.waitUntilEmpty is private[spark]): poll until the
+      // task counters are stable for a full interval, bounded at ~30 s —
+      // a fixed sleep under-reported taskCpu/taskRun on large runs.
+      var prev = -1L
+      var tries = 0
+      while (tries < 60 && listener.cpuNs.get + listener.runMs.get != prev) {
+        prev = listener.cpuNs.get + listener.runMs.get
+        Thread.sleep(500)
+        tries += 1
+      }
       System.err.println(f"[cpu] cores=$cores taskCpu=${listener.cpuSec}%.1f s " +
         f"taskRun=${listener.runSec}%.1f s cpuFraction=${listener.cpuFraction}%.3f")
       stageListener.foreach(_.report(cores))

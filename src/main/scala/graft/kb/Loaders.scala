@@ -103,6 +103,51 @@ object Loaders {
       coalesce(lower(col("_c2")) === "true", lit(true)).as("isPositive"))
 
   /**
+   * Old-T2D-format gold-standard conversion (reference
+   * GoldStandardConverter.java:32-99): the old format is one CSV per web
+   * table (file name = table name), rows `(dbpediaUri, entityLabel)`;
+   * the new format is `(<table>~Row<k>, uri, TRUE)`. The reference scans
+   * every web row and links it to the first old-GS row whose
+   * whitespace-stripped entity label equals the row's key-cell value.
+   *
+   * Spark shape: key-column detection + one equi-join on the stripped
+   * label (no per-row file scans); ties (several URIs for one label)
+   * break on min(uri) for determinism where the reference depended on
+   * file iteration order.
+   */
+  def convertOldGoldStandard(spark: SparkSession, docs: DataFrame,
+                             oldGsPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val oldGs = spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.csv*")
+      .text(oldGsPath)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (path, content) =>
+        val table = fileNameOf(path)
+        LodParse.parseCsv(content).collect {
+          case row if row.length >= 2 && row(0) != null && row(1) != null =>
+            (table, row(0), row(1).replaceAll("\\s", ""))
+        }
+      }.toDF("tableName", "uri", "entityStripped")
+    val cols = graft.model.SpanCodec.columns(docs)
+    val keyCols = graft.pipeline.Keys.detect(cols)
+    val keyCells = graft.model.SpanCodec.cells(docs)
+      .join(keyCols, Seq("tableName", "colIdx"))
+      .filter(col("kind") === "text" && col("text").isNotNull)
+      .select(col("tableName"), col("rowNum"),
+        regexp_replace(col("text"), "\\s", "").as("entityStripped"))
+    keyCells.join(oldGs, Seq("tableName", "entityStripped"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("tableName"), col("rowNum"))
+          .orderBy(col("uri").asc)))
+      .filter(col("rk") === 1)
+      .select(concat(col("tableName"), lit("~Row"), col("rowNum")).as("leftId"),
+        col("uri").as("rightId"), lit(true).as("isPositive"))
+  }
+
+  /**
    * S1 file surface: a directory of web-table CSVs (first row = header)
    * re-encoded as the interleaved docs table. Distributed: one wholetext
    * row per file (web tables are small; quoted newlines survive the
@@ -129,12 +174,15 @@ object Loaders {
               r.toSeq.zipWithIndex.map { case (v, i) =>
                 // HTML entities survive in crawled cells ("&nbsp;31056997"
                 // broke numeric typing on T2D); decode the common ones +
-                // trim, like WInte.r's web-table string normalisation
+                // trim, like WInte.r's web-table string normalisation.
+                // "&amp;" decodes LAST: doubly-escaped input ("&amp;lt;")
+                // must yield "&lt;", not "<" (double-unescaping).
                 val cleaned =
                   if (v == null) null
-                  else v.replace("&nbsp;", " ").replace("&amp;", "&")
+                  else v.replace("&nbsp;", " ")
                     .replace("&lt;", "<").replace("&gt;", ">")
-                    .replace("&quot;", "\"").replace("&#39;", "'").trim
+                    .replace("&quot;", "\"").replace("&#39;", "'")
+                    .replace("&amp;", "&").trim
                 val t = if (cleaned == null || cleaned.isEmpty ||
                   cleaned.equalsIgnoreCase("null")) null else cleaned
                 Span("text", t, null, i)

@@ -65,21 +65,21 @@ object Candidates {
    * (and equi-joining rows back through the verified token pairs) keeps
    * the fuzzy leg's shuffle at the exact leg's scale — the row-level
    * expansion put every occurrence of a hot token through the variant
-   * join (165M-row blowups at sf0.1; the round-2 `variantDfCap` silently
+   * join (165M-row blowups at sf0.1; the round-2 `variantTokenDfCap` silently
    * dropped hot shapes to survive, diverging from the uncapped oracle).
    *
    * Self-variants are kept unconditionally; deletion variants shared by
-   * more than `variantDfCap` DISTINCT tokens are dropped — at token
+   * more than `variantTokenDfCap` DISTINCT tokens are dropped — at token
    * level the cap only triggers on degenerate vocabularies, so engine
    * and (uncapped) oracle agree at any realistic scale.
    */
-  def variantIndex(candidateTokens: DataFrame, variantDfCap: Long = 2000): DataFrame = {
+  def variantIndex(candidateTokens: DataFrame, variantTokenDfCap: Long = 2000): DataFrame = {
     val toks = candidateTokens.select(col("token").as("idxToken")).distinct()
     val self = toks.select(col("idxToken"), col("idxToken").as("variant"))
     val del0 = toks.select(col("idxToken"),
       explode(deletions(col("idxToken"))).as("variant"))
     val delDf = del0.groupBy("variant").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= variantDfCap).drop("_df")
+      .filter(col("_df") <= variantTokenDfCap).drop("_df")
     self.unionByName(del0.join(delDf, "variant"))
   }
 
@@ -143,11 +143,23 @@ object Candidates {
     * key tokens alone can exceed the matched index tokens (two key tokens
     * hitting one index token), pushing jaccardFuzzy past 1.0 and above a
     * true exact match. ED is verified with levenshtein (the neighborhood
-    * intersection alone admits distance-2 pairs). */
+    * intersection alone admits distance-2 pairs).
+    *
+    * Shuffle shape: the two countDistinct aggregates force a 3x expand,
+    * so the aggregation runs on NARROW keys — (tableName, rowNum,
+    * classId, nameId, counts), no uri string — with the per-name
+    * threshold applied on the aggregated counts BEFORE uris are
+    * re-attached through the (nameId, classId) name dim. Equivalent:
+    * nameId = hash(nameNorm) means every uri sharing a name has an
+    * identical token set (identical counts), and a per-name score below
+    * `simThreshold` can never lift a per-uri max past it. Measured 2x on
+    * the sf0.1 bench leg (3.4 s -> 1.3 s for the aggregation, and the
+    * survivors entering the dim join drop from 1.79M to 77k). */
   private def fuzzyPerName(kt: DataFrame, candidateTokens: DataFrame,
                            classesPerTable: Option[DataFrame],
-                           maxEditDistance: Int, variantDfCap: Long,
-                           variants: Option[DataFrame]): DataFrame = {
+                           maxEditDistance: Int, variantTokenDfCap: Long,
+                           variants: Option[DataFrame],
+                           simThreshold: Double): DataFrame = {
     // 1) ED pairs at the DISTINCT-TOKEN level: key vocabulary x index
     // vocabulary through the shared deletion neighborhood, levenshtein-
     // verified (the neighborhood intersection alone admits distance-2
@@ -158,25 +170,26 @@ object Candidates {
     // index side: prebuilt (checkpointed) when the caller has one — the
     // expansion is a pure function of the KB, so rebuilding it per call
     // wastes a full index scan + df-count shuffle every time.
-    val idxv = variants.getOrElse(variantIndex(candidateTokens, variantDfCap))
+    val idxv = variants.getOrElse(variantIndex(candidateTokens, variantTokenDfCap))
     val edPairs = kTok.join(idxv, "variant")
       .select("keyToken", "idxToken").distinct()
       .filter(col("keyToken") === col("idxToken") ||
         levenshtein(col("keyToken"), col("idxToken")) <= maxEditDistance)
     // 2) rows join through the verified pairs — two equi-joins at the
     // exact leg's scale; the variant fan-out never touches row payloads.
+    // uri stays OUT of the hot join/aggregation (narrow-key shape above).
     val hits0 = kt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
         col("token").as("keyToken"))
       .join(edPairs, "keyToken")
-      .join(candidateTokens.select(col("uri"), col("classId"), col("nameId"),
+      .join(candidateTokens.select(col("classId"), col("nameId"),
         col("nNameTok"), col("token").as("idxToken")), "idxToken")
     val hits = classesPerTable match {
       case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
         Seq("tableName", "classId"), "left_semi")
       case None => hits0
     }
-    hits
-      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+    val scored = hits
+      .groupBy(col("tableName"), col("rowNum"), col("classId"),
         col("nameId"), col("nNameTok"), col("nKeyTok"))
       .agg(countDistinct(when(col("keyToken") === col("idxToken"),
         col("keyToken"))).as("shared"),
@@ -188,26 +201,37 @@ object Candidates {
         (col("nKeyTok") + col("nNameTok") - col("sharedFuzzy")).cast("double"))
       .withColumn("jaccard",
         greatest(col("jaccardExact"), col("jaccardFuzzy") * 0.999))
+      .filter(col("jaccard") >= simThreshold)
+    val nameDim = candidateTokens
+      .select("nameId", "classId", "uri").distinct()
+    scored.join(nameDim, Seq("nameId", "classId"))
+      .select(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+        col("nameId"), col("nNameTok"), col("nKeyTok"), col("jaccard"))
   }
 
   /**
    * Refinement pass DERIVED FROM the selection output instead of a second
-   * full token join (the reference re-queries its index per row with
-   * top-100/th-0.7; every exact candidate at >= 0.7 is, in practice, in
-   * selection's class-filtered top-50 already — jaccard >= 0.7 ranks far
-   * above the 0.2 selection floor). Rows WITH a class-filtered exact
-   * candidate >= `simThreshold` keep that candidate set; rows WITHOUT one
-   * (the misses) take the deletion-variant fuzzy leg, exactly like the
-   * reference's per-row `~1` fallback. The expensive variant join is
-   * proportional to the MISS count, and the exact token join is not
-   * repeated at all — on the T2D corpus this replaced a 270-440 s stage
-   * with the fuzzy leg over ~half the rows.
+   * full token join. This is a measured APPROXIMATION of the reference,
+   * not an equivalence: the reference re-queries its index per row
+   * (top-100, th 0.7, class-filtered, ~1 fuzzy terms appended to EVERY
+   * query — CandidateRefinement.java:56-60, DBPediaInstanceIndex.java:
+   * 84-87), while this pass (a) reuses selection's class-UNFILTERED
+   * top-`selectionCandidates` cut, so a same-class exact candidate pushed
+   * below that rank by other-class candidates is lost, and (b) runs the
+   * fuzzy leg only for rows with NO surviving exact candidate >=
+   * `simThreshold`, so hit rows never gain fuzzy-only candidates. Both
+   * gaps were quantified on the shipped T2D corpus (BENCH/BASELINE.md
+   * round-4 refinement-funnel note) and cost no gold recall there —
+   * jaccard >= 0.7 candidates rank far above the 0.2 selection floor in
+   * practice. The payoff: the variant join is proportional to the MISS
+   * count and the exact token join is not repeated at all — on T2D this
+   * replaced a 270-440 s stage with a 79 s one.
    */
   def refineFromSelection(selection: DataFrame, classesPerTable: DataFrame,
                           cells: DataFrame, keyCols: DataFrame,
                           candidateTokens: DataFrame,
                           numCandidates: Int, simThreshold: Double,
-                          maxEditDistance: Int = 1, variantDfCap: Long = 2000,
+                          maxEditDistance: Int = 1, variantTokenDfCap: Long = 2000,
                           variants: Option[DataFrame] = None): DataFrame = {
     val filtered = selection.join(classesPerTable.select("tableName", "classId"),
       Seq("tableName", "classId"), "left_semi")
@@ -219,7 +243,7 @@ object Candidates {
         val missKt = keyTokens(cells, keyCols)
           .join(hitRows, Seq("tableName", "rowNum"), "left_anti")
         val fuzzy = fuzzyPerName(missKt, candidateTokens, Some(classesPerTable),
-          maxEditDistance, variantDfCap, variants)
+          maxEditDistance, variantTokenDfCap, variants, simThreshold)
           .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))
           .agg(max(col("jaccard")).as("score"))
           .filter(col("score") >= simThreshold)
@@ -236,7 +260,7 @@ object Candidates {
   def generate(cells: DataFrame, keyCols: DataFrame, candidateTokens: DataFrame,
                numCandidates: Int, simThreshold: Double,
                classesPerTable: Option[DataFrame] = None,
-               maxEditDistance: Int = 0, variantDfCap: Long = 2000,
+               maxEditDistance: Int = 0, variantTokenDfCap: Long = 2000,
                variants: Option[DataFrame] = None,
                rankByIdf: Boolean = false,
                saltHotTokenDf: Long = 0L): DataFrame = {
@@ -268,7 +292,7 @@ object Candidates {
           .select("tableName", "rowNum")
         val missKt = kt.join(hitRows, Seq("tableName", "rowNum"), "left_anti")
         val fuzzy = fuzzyPerName(missKt, candidateTokens, classesPerTable,
-          maxEditDistance, variantDfCap, variants)
+          maxEditDistance, variantTokenDfCap, variants, simThreshold)
         // union is exact-for-hit-rows ∪ fuzzy-for-miss-rows: the fuzzy leg
         // re-derives every exact share of a miss row through self-variants,
         // and its greatest() score dominates the exact leg's, so the

@@ -31,7 +31,7 @@ case class T2KConfig(
   kurtosisMin: Double = 2.0,                                          // ClassAndTypeBasedSchemaBlocker.java:249-260
   numIterations: Int = 1,                                             // T2KMatch.java:153-154
   tokenDfCap: Long = 100000, mappedRatio: Double = 0.0,
-  variantDfCap: Long = 2000,                                          // fuzzy deletion-variant df guard
+  variantTokenDfCap: Long = 2000,   // fuzzy deletion-variant guard; unit = DISTINCT TOKENS per deletion shape (round-3 change from row-level occurrences — far weaker pruning needed; revisit any tuning against the old unit)
   idfRanking: Boolean = true,                                         // IDF-weighted selection cut (Lucene TF-IDF analog; measured +0.34pp T2D selection recall, no loss)
   saltHotTokenDf: Long = 0)                                           // >0: salt the candidate token join for tokens at/above this df
 
@@ -80,7 +80,7 @@ object T2KPipeline {
     val variants =
       if (cfg.refinementEditDistance > 0)
         Some(ckpt("candidate_variants",
-          Candidates.variantIndex(index, cfg.variantDfCap)))
+          Candidates.variantIndex(index, cfg.variantTokenDfCap)))
       else None
 
     // window top-N stages coalesce to ~1 partition under AQE at small
@@ -109,7 +109,7 @@ object T2KPipeline {
     val refined = ckpt("candidates_refined", spread(
       Candidates.refineFromSelection(selection, classes0, cells, keyCols,
         index, cfg.refinementCandidates, cfg.refinementThreshold,
-        cfg.refinementEditDistance, cfg.variantDfCap, variants)))
+        cfg.refinementEditDistance, cfg.variantTokenDfCap, variants)))
 
     // --- first duplicate-based schema matching + class refinement -------
     val pairs0 = Schema.blockPairs(webCols, classes0, kbPropsByClass, cfg.kurtosisMin)

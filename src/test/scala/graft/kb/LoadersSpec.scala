@@ -76,6 +76,49 @@ class LoadersSpec extends SparkSpec {
     assert(pairs.contains(("day go", "go away")))
   }
 
+  test("old-T2D gold-standard conversion round-trips through the loader") {
+    // old format: one CSV per table, rows (uri, label) — reference
+    // GoldStandardConverter.java:32-99 links rows by whitespace-stripped
+    // key-cell equality and emits (<table>~Row<k>, uri, TRUE).
+    val docs = MicroCorpus.docs(spark)
+    val keyCells = graft.model.SpanCodec.cells(docs)
+      .join(graft.pipeline.Keys.detect(graft.model.SpanCodec.columns(docs)),
+        Seq("tableName", "colIdx"))
+      .filter($"kind" === "text" && $"text".isNotNull)
+      .select("tableName", "rowNum", "text")
+      .as[(String, Int, String)].collect()
+    val gold = MicroCorpus.gsInstance
+    val dir = java.nio.file.Files.createTempDirectory("oldgs").toFile
+    try {
+      gold.groupBy(_._1).foreach { case (table, rows) =>
+        val lines = rows.map { case (t, rn, uri) =>
+          val label = keyCells.collectFirst {
+            case (`t`, `rn`, txt) => txt }.get
+          // extra internal whitespace: conversion must strip it
+          s"$uri,${label.replace(" ", "   ")}"
+        }
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, s"$table").toPath, lines.mkString("\n"))
+      }
+      val converted = Loaders.convertOldGoldStandard(spark, docs, dir.getPath)
+      val got = converted.as[(String, String, Boolean)].collect().toSet
+      val expected = gold.map { case (t, rn, uri) => (s"$t~Row$rn", uri, true) }.toSet
+      assert(got === expected)
+      // round-trip: write in loader format, reload, same set
+      val out = new java.io.File(dir, "converted.csv").getPath
+      converted.select($"leftId", $"rightId",
+        when($"isPositive", "TRUE").otherwise("FALSE"))
+        .coalesce(1).write.mode("overwrite").csv(out)
+      val reloaded = Loaders.loadGoldStandard(spark, out)
+        .as[(String, String, Boolean)].collect().toSet
+      assert(reloaded === expected)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+      rm(dir)
+    }
+  }
+
   test("full pipeline over the reference's own fixture files = goldens") {
     assume(available)
     val docs = Loaders.loadWebTablesDir(spark, s"$res/webtables")
