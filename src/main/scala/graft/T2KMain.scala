@@ -218,6 +218,185 @@ object T2KMain {
       table.orderBy(col("f1").desc).show(45, truncate = false)
     }
 
+    // --- emission parity vs the reference's own emitted artifact ---------
+    // The reference's one shipped artifact (output/SF_schema_correspondences
+    // .csv, 183 rows) is an SF-flood + StableMarriage 1:1 filter over the
+    // pipeline's COMBINED (pre-top-1) corr matrix, emitted with the raw
+    // combine-stage seed scores (SimilarityFloodingPipeline.java:46-119;
+    // provenance analysis in BENCH/reference_parity.md). This mode
+    // (a) writes a per-reference-pair accounting CSV — emitted-at-top-1 /
+    // in-matrix-but-lost-at-top-1 (with the winning property) / absent —
+    // and (b) sweeps emission filters over the SAME combined matrix,
+    // writing the parity artifact for the configured emission filter.
+    //   --parity-ref <refCsv> [--parity-out <dir>]
+    //   [--parity-emit formula:minSim:filter:maxIter   default none:0.02:stable:0]
+    opts.get("parity-ref").foreach { refCsv =>
+      import graft.onetoone.{SFMatchers, SimilarityFlooding}
+      val outDir = opts.getOrElse("parity-out", s"$out/parity")
+      val props = kb.props.select(col("propId"), col("propUri"))
+      val ref = spark.read.csv(refCsv).select(
+        split(col("_c0"), "~Col").getItem(0).as("tableName"),
+        split(col("_c0"), "~Col").getItem(1).cast("int").as("colIdx"),
+        col("_c1").as("propUri"),
+        col("_c2").cast("double").as("refScore"))
+      val combined = result.schemaCombined.join(props, "propId")
+        .select(col("tableName"), col("colIdx"), col("propId"),
+          col("propUri"), col("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top1 = result.schemaCorrs.join(props, "propId")
+        .select(col("tableName"), col("colIdx"), col("propUri"),
+          col("score").as("top1Score"))
+
+      // (a) per-pair accounting
+      val winners = top1.select(col("tableName"), col("colIdx"),
+        col("propUri").as("winnerUri"), col("top1Score").as("winnerScore"))
+      val acct = ref
+        .join(combined.select(col("tableName"), col("colIdx"), col("propUri"),
+          col("score").as("matrixScore")), Seq("tableName", "colIdx", "propUri"), "left")
+        .join(top1.select(col("tableName"), col("colIdx"), col("propUri"))
+          .withColumn("inTop1", lit(true)), Seq("tableName", "colIdx", "propUri"), "left")
+        .join(winners, Seq("tableName", "colIdx"), "left")
+        .withColumn("status",
+          when(col("inTop1"), "emitted")
+            .when(col("matrixScore").isNotNull, "lost_at_top1")
+            .otherwise("absent_from_matrix"))
+      acct.orderBy("status", "tableName", "colIdx")
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/accounting")
+      acct.groupBy("status").count().orderBy("status").show(truncate = false)
+
+      // (b) emission filters over the combined matrix
+      val classes = result.classCorrs.select("tableName", "classId")
+      val seeds = SFMatchers.pipelineMatrixSeeds(
+          result.schemaCombined, graft.model.SpanCodec.columns(docs),
+          kb.propsByClass, classes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val refPairs = ref.select("tableName", "colIdx", "propUri")
+      def emitted(formula: String, minSim: Double, filter: String,
+                  maxIter: Int): org.apache.spark.sql.DataFrame =
+        SimilarityFlooding.run(seeds, formula, minSim, filter, maxIter)
+          .select(split(col("groupKey"), "\\|").getItem(0).as("tableName"),
+            col("left").as("colIdx"), col("right").as("propId"))
+          // re-attach the COMBINE seed score (the reference emits seeds,
+          // not flooded scores) and drop zero-seed cells the 1:1 kept
+          .join(combined.select("tableName", "colIdx", "propId", "propUri", "score"),
+            Seq("tableName", "colIdx", "propId"))
+      val grid = Seq(
+        ("none", 0.02, "stable", 0), ("none", 0.02, "hungarian", 0),
+        ("none", 0.05, "stable", 0), ("none", 0.10, "stable", 0),
+        ("A", 0.05, "stable", 1000), ("A", 0.10, "stable", 1000),
+        ("C", 0.05, "stable", 1000), ("B", 0.05, "stable", 1000))
+      grid.foreach { case (f, m, filt, it) =>
+        val e = emitted(if (f == "none") "A" else f, m, filt,
+          if (f == "none") 0 else it)
+        val prf = Evaluator.evaluate(
+          e.select("tableName", "colIdx", "propUri"), refPairs,
+          Seq("tableName", "colIdx", "propUri"))
+        println(f"EMIT|$f|$m|$filt|$it|P=${prf.precision}%.4f|R=${prf.recall}%.4f|" +
+          f"F1=${prf.f1}%.4f|tp=${prf.tp}|ours=${prf.predicted}|ref=${prf.gold}")
+      }
+      // Label-state emission: the artifact's score histogram (114×0.8 key
+      // corrs + 56×0.08 = 0.4-GSJ label votes + 13 dup-influenced rows)
+      // shows the emitting run had almost NO instance matching — so the
+      // faithful reconstruction of ITS matrix is key corrs + the label
+      // leg alone. Build that matrix, 1:1-filter it the same way, and
+      // also measure the UNION with the shipped-config top-1 set (both
+      // states' emissions — the two-provenance artifact).
+      locally {
+        val webCols = graft.model.SpanCodec.columns(docs)
+        val keyCorrs = graft.pipeline.Keys.keyCorrs(
+          graft.pipeline.Keys.detect(webCols))
+        // ancestor-closed class set — the pipeline's own blocker admits
+        // superclass-owned properties (A4), and the reference artifact
+        // carries such rows (e.g. `language` on a Country table)
+        val classesAnc = graft.pipeline.Classes.withAncestors(
+          result.classCorrs.select(col("tableName"), col("classId"),
+            col("score").as("classScore")),
+          kb.classes, hierarchy.toMap)
+        val pairs = graft.pipeline.Schema.blockPairs(
+          webCols, classesAnc, kb.propsByClass)
+        val label = graft.pipeline.Schema.labelBased(pairs, webCols, kb.props)
+        val emptyDup = label.limit(0)
+        val labelMatrix = graft.pipeline.Schema.combine(
+            emptyDup, label, keyCorrs, 0.8, 0.2, 0.03)
+          .join(props, "propId")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labelSeeds = SFMatchers.pipelineMatrixSeeds(
+          labelMatrix.select("tableName", "colIdx", "propId", "score"),
+          webCols, kb.propsByClass, classesAnc)
+        def eval(name: String, e: org.apache.spark.sql.DataFrame): Unit = {
+          val prf = Evaluator.evaluate(
+            e.select("tableName", "colIdx", "propUri"), refPairs,
+            Seq("tableName", "colIdx", "propUri"))
+          println(f"EMIT|$name|P=${prf.precision}%.4f|R=${prf.recall}%.4f|" +
+            f"F1=${prf.f1}%.4f|tp=${prf.tp}|ours=${prf.predicted}|ref=${prf.gold}")
+        }
+        sys.env.get("GRAFT_PARITY_DEBUG_TABLE").foreach { dt =>
+          println(s"DEBUG pairs for $dt:")
+          pairs.filter(col("tableName") === dt).join(props, "propId")
+            .select("colIdx", "propUri", "classId", "dtype").distinct()
+            .orderBy("colIdx").show(60, truncate = false)
+          println(s"DEBUG labelMatrix for $dt:")
+          labelMatrix.filter(col("tableName") === dt)
+            .select("colIdx", "propUri", "score").orderBy("colIdx")
+            .show(60, truncate = false)
+          println(s"DEBUG classesAnc for $dt:")
+          classesAnc.filter(col("tableName") === dt).show(20, truncate = false)
+        }
+        val labelState = SimilarityFlooding.run(labelSeeds, "A", 0.02, "stable", 0)
+          .select(split(col("groupKey"), "\\|").getItem(0).as("tableName"),
+            col("left").as("colIdx"), col("right").as("propId"))
+          .distinct() // the same (col, prop) can win in several class groups
+          .join(labelMatrix.select("tableName", "colIdx", "propId", "propUri", "score"),
+            Seq("tableName", "colIdx", "propId"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        eval("labelstate-stable", labelState)
+        labelState
+          .select(concat(col("tableName"), lit("~Col"), col("colIdx")).as("id1"),
+            col("propUri").as("id2"), col("score"))
+          .coalesce(1).write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/labelstate_artifact")
+        val top1Set = top1.select("tableName", "colIdx", "propUri")
+        eval("shipped-top1", top1Set)
+        val unionSet = top1Set
+          .unionByName(labelState.select("tableName", "colIdx", "propUri"))
+          .distinct()
+        eval("union-both-states", unionSet)
+        // the committed two-provenance artifact: shipped-config top-1
+        // rows carry the combine score; label-state-only rows carry the
+        // label-matrix score
+        val unionArtifact = top1
+          .select(col("tableName"), col("colIdx"), col("propUri"),
+            col("top1Score").as("score"))
+          .unionByName(labelState
+            .join(top1.select("tableName", "colIdx", "propUri")
+              .withColumn("inT", lit(true)),
+              Seq("tableName", "colIdx", "propUri"), "left_anti")
+            .select(col("tableName"), col("colIdx"), col("propUri"), col("score")))
+        unionArtifact
+          .select(concat(col("tableName"), lit("~Col"), col("colIdx")).as("id1"),
+            col("propUri").as("id2"), col("score"))
+          .coalesce(1).write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/union_artifact")
+      }
+
+      val Array(ef, em, efilt, eit) =
+        opts.getOrElse("parity-emit", "none:0.02:stable:0").split(":")
+      val artifact = emitted(if (ef == "none") "A" else ef, em.toDouble, efilt,
+        if (ef == "none") 0 else eit.toInt)
+      artifact
+        .select(concat(col("tableName"), lit("~Col"), col("colIdx")).as("id1"),
+          col("propUri").as("id2"), col("score"))
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/emission_artifact")
+      val prf = Evaluator.evaluate(
+        artifact.select("tableName", "colIdx", "propUri"), refPairs,
+        Seq("tableName", "colIdx", "propUri"))
+      println(f"EMISSION-ARTIFACT $ef:$em:$efilt P=${prf.precision}%.4f " +
+        f"R=${prf.recall}%.4f F1=${prf.f1}%.4f (tp=${prf.tp} " +
+        f"ours=${prf.predicted} ref=${prf.gold}) -> $outDir/emission_artifact")
+    }
+
     println(s"wrote correspondences + triples to $out")
     spark.stop()
   }

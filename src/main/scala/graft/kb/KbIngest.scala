@@ -129,8 +129,15 @@ object KbIngest {
       .withColumn("rk", row_number().over(Window.partitionBy("propUri")
         .orderBy(col("nDecl").desc, col("declared").asc)))
       .filter(col("rk") === 1).select("propUri", "declared")
+    // "_label" twin columns carry the OBJECT property's URI (LodParse
+    // keepColumns keeps the twin), so the property's matching NAME is the
+    // base column name: "language_label" -> "language". Without the strip
+    // the suffix deflates every label-GSJ score for object properties
+    // (measured on T2D: GSJ(header "language", "language label") = 0.5,
+    // below junk matches like longName at 0.625 — the reference pair lost
+    // the column).
     val propDim = schemaDim.groupBy("propUri")
-      .agg(min("propHeader").as("header"))
+      .agg(min(regexp_replace(col("propHeader"), "_label$", "")).as("header"))
       .join(declPick, Seq("propUri"), "left")
       .join(valueStats, Seq("propUri"), "left")
       .withColumn("dtype",

@@ -35,8 +35,13 @@ case class T2KConfig(
   idfRanking: Boolean = true,                                         // IDF-weighted selection cut (Lucene TF-IDF analog; measured +0.34pp T2D selection recall, no loss)
   saltHotTokenDf: Long = 0)                                           // >0: salt the candidate token join for tokens at/above this df
 
+/** `schemaCombined` is the final iteration's PRE-top-1 combined schema
+  * corr matrix — the input the reference's SF emission filter consumed
+  * (SimilarityFloodingPipeline.java:46-119); exposed for the
+  * emission-parity mode and per-pair accounting. */
 case class T2KResult(instanceCorrs: DataFrame, schemaCorrs: DataFrame,
-                     classCorrs: DataFrame, triples: DataFrame)
+                     classCorrs: DataFrame, triples: DataFrame,
+                     schemaCombined: DataFrame)
 
 object T2KPipeline {
 
@@ -129,8 +134,13 @@ object T2KPipeline {
         Seq("tableName"), "left_anti")))
     val classes = cache(
       Classes.withAncestors(classesBest, kb.classes, hierarchy))
+    // No spread(): unlike the window-top-N stages, the semi-join's output
+    // is shuffle-partitioned on (tableName, classId) and stays wide; the
+    // round-robin repartition only added a second full shuffle of the
+    // refined set (the r3 profile's worst stage: 538 task-s at 0.441
+    // cpu/run on the 505k-doc run, half of it the extra exchange).
     val candidates = ckpt("candidates_filtered",
-      spread(Classes.filterCandidates(refined, classes)))
+      Classes.filterCandidates(refined, classes))
 
     // --- iteration loop (T2KMatch.java:356-405) -------------------------
     val pairs = cache(
@@ -181,6 +191,6 @@ object T2KPipeline {
     val triples = ckpt("triples", Triples.generate(
       instF, schemaF, cells, kbCells, kb.props, webCols))
 
-    T2KResult(instF, schemaF, classCorrs, triples)
+    T2KResult(instF, schemaF, classCorrs, triples, schemaCorrs)
   }
 }
