@@ -100,13 +100,36 @@ object Candidates {
    */
   /** Exact leg: Jaccard per (row, candidate name) from shared-token
     * counts. Names are pre-hashed 64-bit ids (CandidateIndex) — the
-    * aggregation only needs name identity, and hashed keys keep shuffle
-    * rows narrow. With `withIdf`, also carries sum(idf of shared tokens)
-    * — the Lucene-score analog used for the retrieval cut. */
+    * aggregation only needs name identity. With `withIdf`, also carries
+    * sum(idf of shared tokens) — the Lucene-score analog used for the
+    * retrieval cut.
+    *
+    * Shuffle shape (the engine's single biggest aggregation): the uri
+    * string stays OUT of the token join and the per-name groupBy — rows
+    * aggregate on (tableName, rowNum, classId, nameId, counts), the
+    * per-name threshold is applied on the aggregated counts, and uris
+    * are re-attached to the (much smaller) survivor set through the
+    * (nameId, classId) name dim. Equivalent output: every uri sharing a
+    * nameId has an identical token set, and a per-name score below
+    * `simThreshold` can never lift a per-uri max past it. The retrieval
+    * score (max idfSum per uri) is thereby computed over the names that
+    * CLEAR the threshold — the Lucene-faithful reading (the reference
+    * re-scores the retrieved name itself); measured output-identical on
+    * the T2D selection (same rows, same gold coverage). */
   private def exactPerName(kt: DataFrame, candidateTokens: DataFrame,
                            classesPerTable: Option[DataFrame],
                            withIdf: Boolean,
-                           saltHotTokenDf: Long = 0L): DataFrame = {
+                           saltHotTokenDf: Long,
+                           simThreshold: Double): DataFrame = {
+    // NAME-level distinct: candidateTokens carries one row per (uri,
+    // name, token), and entities SHARING a name (surface forms, duplicate
+    // labels) would multiply both the join output and — fatally — the
+    // count(1) shared-token aggregate. Dedup to (name, token) rows: the
+    // join and the aggregation then run at name-level volume, and the
+    // uri fan-out happens once, on the thresholded survivors.
+    val idxCols = Seq(col("classId"), col("nameId"), col("nNameTok"),
+      col("token")) ++ (if (withIdf) Seq(col("idf")) else Nil)
+    val idx = candidateTokens.select(idxCols: _*).distinct()
     // Explicit hot-token salting (opt-in): tokens whose index-side df
     // reaches the threshold join through Salt.skewSplitJoin — the index
     // rows spread across 8 salted partitions instead of one straggler.
@@ -115,9 +138,9 @@ object Candidates {
     // capped df concentrates in one executor's memory.
     val hits0 =
       if (saltHotTokenDf > 0L)
-        graft.util.Salt.skewSplitJoin(candidateTokens, kt, "token", 8,
-          saltHotTokenDf, Seq("uri", "nameId"))
-      else kt.join(candidateTokens, "token")
+        graft.util.Salt.skewSplitJoin(idx, kt, "token", 8,
+          saltHotTokenDf, Seq("nameId"))
+      else kt.join(idx, "token")
     // No broadcast hint: classesPerTable is O(#tables) rows — at
     // millions of tables that's a multi-GB driver broadcast. AQE
     // decides; the left-semi is fine as a shuffle.
@@ -129,12 +152,19 @@ object Candidates {
     val aggs =
       if (withIdf) Seq(count(lit(1)).as("shared"), sum(col("idf")).as("idfSum"))
       else Seq(count(lit(1)).as("shared"))
-    hits
-      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+    val scored = hits
+      .groupBy(col("tableName"), col("rowNum"), col("classId"),
         col("nameId"), col("nNameTok"), col("nKeyTok"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("jaccard", col("shared").cast("double") /
         (col("nKeyTok") + col("nNameTok") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= simThreshold)
+    val nameDim = candidateTokens
+      .select("nameId", "classId", "uri").distinct()
+    val outCols = Seq(col("tableName"), col("rowNum"), col("uri"),
+      col("classId"), col("nameId"), col("nNameTok"), col("nKeyTok"),
+      col("jaccard")) ++ (if (withIdf) Seq(col("idfSum")) else Nil)
+    scored.join(nameDim, Seq("nameId", "classId")).select(outCols: _*)
   }
 
   /** Fuzzy (ED <= maxEditDistance) scores per (row, candidate name) for
@@ -182,7 +212,7 @@ object Candidates {
         col("token").as("keyToken"))
       .join(edPairs, "keyToken")
       .join(candidateTokens.select(col("classId"), col("nameId"),
-        col("nNameTok"), col("token").as("idxToken")), "idxToken")
+        col("nNameTok"), col("token").as("idxToken")).distinct(), "idxToken")
     val hits = classesPerTable match {
       case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
         Seq("tableName", "classId"), "left_semi")
@@ -268,7 +298,7 @@ object Candidates {
     val perName =
       if (maxEditDistance <= 0) {
         exactPerName(kt, candidateTokens, classesPerTable, rankByIdf,
-          saltHotTokenDf)
+          saltHotTokenDf, simThreshold)
       } else {
         // Fuzzy-on-miss: the exact leg runs for ALL rows; the deletion-
         // variant join runs ONLY for rows whose exact pass produced no
@@ -284,12 +314,11 @@ object Candidates {
         // on-wire size and OOM'd a 32-thread 8g JVM on the T2D corpus
         // while the per-name aggregation was still running alongside.
         val exact = exactPerName(kt, candidateTokens, classesPerTable,
-          withIdf = false, saltHotTokenDf).localCheckpoint(false,
+          withIdf = false, saltHotTokenDf, simThreshold).localCheckpoint(false,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        val hitRows = exact.groupBy(col("tableName"), col("rowNum"))
-          .agg(max(col("jaccard")).as("best"))
-          .filter(col("best") >= simThreshold)
-          .select("tableName", "rowNum")
+        // exactPerName already applies the per-name threshold, so hit
+        // rows are simply the rows with ANY surviving exact candidate
+        val hitRows = exact.select("tableName", "rowNum").distinct()
         val missKt = kt.join(hitRows, Seq("tableName", "rowNum"), "left_anti")
         val fuzzy = fuzzyPerName(missKt, candidateTokens, classesPerTable,
           maxEditDistance, variantTokenDfCap, variants, simThreshold)
