@@ -62,6 +62,11 @@ object T2KPipeline {
           hierarchy: Map[String, String],
           cfg: T2KConfig = T2KConfig(),
           ckpt: Checkpointer = LocalCheckpointer): T2KResult = {
+    var _t = System.nanoTime()
+    def mark(l: String): Unit = if (sys.env.contains("GRAFT_TIME_DEF")) {
+      System.err.println(f"[deftime] $l ${(System.nanoTime() - _t) / 1e9}%.2f s")
+      _t = System.nanoTime()
+    }
 
     // --- decode + dims (S1) ---------------------------------------------
     val cells = ckpt("cells", SpanCodec.cells(docs))
@@ -76,6 +81,7 @@ object T2KPipeline {
     val kbPropsByClass = cache(kb.propsByClass)
     val propClasses = kbPropsByClass.select("classId", "propId").distinct()
 
+    mark("dims")
     // --- candidate index (S5) -------------------------------------------
     val index = ckpt("candidate_tokens",
       CandidateIndex.build(kbCells, surfaceForms, cfg.tokenDfCap))
@@ -88,6 +94,7 @@ object T2KPipeline {
           Candidates.variantIndex(index, cfg.variantTokenDfCap)))
       else None
 
+    mark("index")
     // window top-N stages coalesce to ~1 partition under AQE at small
     // corpus sizes, serialising every downstream task (manifest evidence:
     // candidates_refined landed in 1 partition). Round-robin with explicit
@@ -106,16 +113,19 @@ object T2KPipeline {
       cells, keyCols, index, cfg.selectionCandidates, cfg.selectionThreshold,
       rankByIdf = cfg.idfRanking, saltHotTokenDf = cfg.saltHotTokenDf)))
 
+    mark("selection_def")
     // --- class decision (A1-A3) -----------------------------------------
     val classes0 = cache(Classes.decide(selection, kb.classes,
       cfg.classConsensus, cfg.classFallbackTopK))
 
+    mark("classes0_def")
     // --- candidate refinement (class-filtered, th 0.7, fuzzy-on-miss) ---
     val refined = ckpt("candidates_refined", spread(
       Candidates.refineFromSelection(selection, classes0, cells, keyCols,
         index, cfg.refinementCandidates, cfg.refinementThreshold,
         cfg.refinementEditDistance, cfg.variantTokenDfCap, variants)))
 
+    mark("refined_def")
     // --- first duplicate-based schema matching + class refinement -------
     val pairs0 = Schema.blockPairs(webCols, classes0, kbPropsByClass, cfg.kurtosisMin)
     val dup0 = cache(Schema.duplicateBased(refined, cells, kbCells,
@@ -142,6 +152,7 @@ object T2KPipeline {
     val candidates = ckpt("candidates_filtered",
       Classes.filterCandidates(refined, classes))
 
+    mark("dup0_classes")
     // --- iteration loop (T2KMatch.java:356-405) -------------------------
     val pairs = cache(
       Schema.blockPairs(webCols, classes, kbPropsByClass, cfg.kurtosisMin))
@@ -161,6 +172,7 @@ object T2KPipeline {
         cfg.keyWeight, cfg.irThreshold)))
     }
 
+    mark("loop_def")
     // --- 1:1 top-1 (T2KMatch.java:411-413) ------------------------------
     val instanceTop1 = cache(
       top1(instanceCands, Seq("tableName", "rowNum"), "uri"))
@@ -181,6 +193,7 @@ object T2KPipeline {
           schemaTop1.join(keep, Seq("tableName"), "left_semi"))
       }
 
+    mark("top1_def")
     // --- class corrs + triples ------------------------------------------
     val classCorrs = classesBest
       .join(broadcast(kb.classes.select("classId", "className")), "classId")
@@ -191,6 +204,7 @@ object T2KPipeline {
     val triples = ckpt("triples", Triples.generate(
       instF, schemaF, cells, kbCells, kb.props, webCols))
 
+    mark("triples_def")
     T2KResult(instF, schemaF, classCorrs, triples, schemaCorrs)
   }
 }

@@ -39,6 +39,35 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /**
+   * Incremental entity linking: a STREAM of interleaved documents linked
+   * against the STATIC candidate-token index, per micro-batch. The
+   * candidate kernel needs chained aggregations + a window (per-name
+   * score -> per-uri max -> top-N), which streaming cannot express
+   * statefully — and does not need to: each document links independently
+   * of every other, so foreachBatch runs the full BATCH kernel
+   * (Candidates.generate + top-1) on each micro-batch and appends to the
+   * sink. Exactly-once per batch via the foreachBatch batchId; at
+   * 10^12-doc scale the static index side is the same bucketed
+   * candidate_tokens table the batch pipeline checkpoints, and each
+   * micro-batch is an independent bounded join (no stream state at all).
+   *
+   * `sink(linked, batchId)` receives (tableName, rowNum, uri, classId,
+   * score) rows — the per-row top-1 instance links of that batch.
+   */
+  def linkDocs(docsStream: DataFrame, candidateTokens: DataFrame,
+               keyCols: DataFrame, numCandidates: Int = 1,
+               simThreshold: Double = 0.2)
+              (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cells = graft.model.SpanCodec.cells(batch)
+        val linked = graft.pipeline.Candidates.generate(
+          cells, keyCols, candidateTokens, numCandidates, simThreshold)
+        sink(linked, batchId)
+      }
+      .start()
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

@@ -1,0 +1,30 @@
+package graft.tools
+import graft.fixtures.MicroCorpus
+import graft.kb.KbIngest
+import graft.pipeline.T2KPipeline
+import org.apache.spark.sql.SparkSession
+object ProbeMicro {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](l: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE|$l|${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
+    for (i <- 1 to 2) {
+      val kb = time(s"kb_ingest_$i") {
+        KbIngest.fromLodTables(spark, MicroCorpus.lodTables, MicroCorpus.classHierarchy) }
+      val res = time(s"pipeline_def_$i") {
+        T2KPipeline.run(MicroCorpus.docs(spark), kb,
+          MicroCorpus.surfaceFormsDf(spark), MicroCorpus.classHierarchy.toMap) }
+      time(s"triples_count_$i") { res.triples.count() }
+    }
+    spark.stop()
+  }
+}

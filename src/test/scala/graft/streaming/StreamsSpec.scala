@@ -41,6 +41,45 @@ class StreamsSpec extends SparkSpec {
     assert(clicks.isDefined, rows.mkString(";"))
   }
 
+  test("incremental entity linking equals the batch kernel per micro-batch") {
+    import graft.fixtures.MicroCorpus
+    import graft.kb.{CandidateIndex, KbIngest}
+    import graft.pipeline.Keys
+    implicit val sc = spark.sqlContext
+    val kb = KbIngest.fromLodTables(spark, MicroCorpus.lodTables,
+      MicroCorpus.classHierarchy)
+    val index = CandidateIndex.build(kb.cells, MicroCorpus.surfaceFormsDf(spark))
+      .persist()
+    val batchDocs = MicroCorpus.docs(spark)
+    val keyCols = Keys.detect(graft.model.SpanCodec.columns(batchDocs))
+      .persist()
+    // expected: the batch kernel over ALL docs (tables are independent,
+    // so batch-at-once == union of per-table micro-batches)
+    val expected = graft.pipeline.Candidates.generate(
+        graft.model.SpanCodec.cells(batchDocs), keyCols, index, 1, 0.2)
+      .select("tableName", "rowNum", "uri")
+      .as[(String, Int, String)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val in = MemoryStream[graft.model.Doc]
+    val got = collection.mutable.Set[(String, Int, String)]()
+    val batches = collection.mutable.Set[Long]()
+    val q = Streams.linkDocs(in.toDF(), index, keyCols, 1, 0.2) { (df, id) =>
+      got ++= df.select("tableName", "rowNum", "uri")
+        .as[(String, Int, String)].collect()
+      batches += id
+    }
+    val all = batchDocs.as[graft.model.Doc].collect()
+    val (t1, t2) = all.partition(_.doc_id.startsWith("webtable1"))
+    in.addData(t1.toSeq)
+    q.processAllAvailable()
+    in.addData(t2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size >= 2) // genuinely incremental: >= 2 micro-batches
+    assert(got.toSet === expected)
+  }
+
   test("stateful sessionization emits closed sessions") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
