@@ -22,6 +22,24 @@ import org.apache.spark.sql.functions._
  *     [--iterations N] [--mapped-ratio X]
  */
 object T2KMain {
+
+  /** Offline candidate-index build: the exact checkpoint stages the
+    * pipeline's index path runs (same names, same config thresholds), so
+    * a later `T2KPipeline.run` against the same checkpoint dir resumes
+    * them without rebuilding. Standalone counterpart of the reference's
+    * DBpediaIndexer.main (DBpediaIndexer.java:133-159). */
+  def buildIndex(kb: graft.kb.KbIngest.Ingested,
+                 sf: org.apache.spark.sql.DataFrame, cfg: T2KConfig,
+                 ckpt: graft.checkpoint.Checkpointer): Unit = {
+    val kbCells = ckpt("kb_cells", kb.cells)
+    val index = ckpt("candidate_tokens",
+      graft.kb.CandidateIndex.build(kbCells, sf, cfg.tokenDfCap))
+    if (cfg.refinementEditDistance > 0)
+      ckpt("candidate_variants",
+        graft.pipeline.Candidates.variantIndex(index, cfg.variantTokenDfCap))
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
@@ -38,12 +56,6 @@ object T2KMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val webPath = opts("web")
-    val docs =
-      if (new java.io.File(webPath).isDirectory &&
-        new java.io.File(webPath).listFiles().exists(_.getName.endsWith(".csv")))
-        Loaders.loadWebTablesDir(spark, webPath)
-      else spark.read.parquet(webPath)
     val hierarchy = opts.get("ontology")
       .map(Loaders.loadClassHierarchy(spark, _)).getOrElse(Nil)
     val kb = Loaders.loadLodCsvDir(spark, opts("kb"), hierarchy)
@@ -52,6 +64,28 @@ object T2KMain {
     val cfg = T2KConfig(
       numIterations = opts.get("iterations").map(_.toInt).getOrElse(1),
       mappedRatio = opts.get("mapped-ratio").map(_.toDouble).getOrElse(0.0))
+
+    // --- offline index build (DBpediaIndexer.java:133-159 counterpart) ---
+    // --build-index <checkpointDir>: materialise the kb_cells ->
+    // candidate_tokens -> candidate_variants stages ONCE for this --kb
+    // (+ optional --sf/--redirect); pipeline runs pointed at the same
+    // --checkpoint dir resume them instead of rebuilding — the
+    // reference's offline-Lucene-index workflow (one KB, many corpora).
+    // No --web needed in this mode.
+    if (opts.contains("build-index")) {
+      buildIndex(kb, sf, cfg,
+        new ParquetCheckpointer(spark, opts("build-index")))
+      println(s"built candidate index in ${opts("build-index")}")
+      spark.stop()
+      return
+    }
+
+    val webPath = opts("web")
+    val docs =
+      if (new java.io.File(webPath).isDirectory &&
+        new java.io.File(webPath).listFiles().exists(_.getName.endsWith(".csv")))
+        Loaders.loadWebTablesDir(spark, webPath)
+      else spark.read.parquet(webPath)
     val result = opts.get("checkpoint") match {
       case Some(dir) => T2KPipeline.run(docs, kb, sf, hierarchy.toMap, cfg,
         new ParquetCheckpointer(spark, dir))
@@ -100,6 +134,16 @@ object T2KMain {
       gs.withColumn("tableName", split(col("leftId"), "~").getItem(0))
         .join(loadedTables, Seq("tableName"), "left_semi").drop("tableName")
 
+    // Per-table evaluation matrix (the reference's evaluation.csv +
+    // row/col binary/non-binary precisions, T2KMatch.java:1053-1094): one
+    // row per table with counts, P/R/F1 and binary precision — what a
+    // user debugging ONE bad table reads first.
+    def perTableCsv(pred: org.apache.spark.sql.DataFrame,
+                    gs: org.apache.spark.sql.DataFrame, level: String): Unit =
+      csv(Evaluator.perGroup(pred, gs, Seq("leftId", "rightId"),
+          split(col("leftId"), "~").getItem(0)).orderBy("tableName"),
+        s"evaluation_$level")
+
     opts.get("gs-instance").foreach { p =>
       val gs = pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
       val pred = result.instanceCorrs.select(
@@ -107,6 +151,7 @@ object T2KMain {
         col("uri").as("rightId"))
       val prf = Evaluator.evaluate(pred, gs, Seq("leftId", "rightId"))
       println(f"instance P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f")
+      perTableCsv(pred, gs, "instance")
     }
     opts.get("gs-class").foreach { p =>
       val gs = pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
@@ -114,6 +159,7 @@ object T2KMain {
         col("tableName").as("leftId"), col("className").as("rightId"))
       val prf = Evaluator.evaluate(pred, gs, Seq("leftId", "rightId"))
       println(f"class P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f")
+      perTableCsv(pred, gs, "class")
     }
     opts.get("gs-property").foreach { p =>
       val gs = pruned(Loaders.loadGoldStandard(spark, p).filter(col("isPositive")))
@@ -123,6 +169,20 @@ object T2KMain {
           col("propUri").as("rightId"))
       val prf = Evaluator.evaluate(pred, gs, Seq("leftId", "rightId"))
       println(f"property P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f")
+      perTableCsv(pred, gs, "property")
+      // Corpus-level group-averaged precisions (the reference's printed
+      // non-binary / binary precision, per row-group = table and per
+      // col-group = web column; avg() skips groups with no predictions).
+      val byTable = Evaluator.perGroup(pred, gs, Seq("leftId", "rightId"),
+        split(col("leftId"), "~").getItem(0))
+      val byCol = Evaluator.perGroup(pred, gs, Seq("leftId", "rightId"),
+        col("leftId"), "columnId")
+      val r = byTable.agg(avg("precision"), avg("binary_precision")).head
+      val c = byCol.agg(avg("precision"), avg("binary_precision")).head
+      println(f"property nonBinaryPrecision(row)=${r.getDouble(0)}%.4f " +
+        f"binaryPrecision(row)=${r.getDouble(1)}%.4f " +
+        f"nonBinaryPrecision(col)=${c.getDouble(0)}%.4f " +
+        f"binaryPrecision(col)=${c.getDouble(1)}%.4f")
     }
     // --- similarity-flooding alternative schema matchers (F2/F3) ---------
     // --sf-matcher label|label-kb2wb|value|value-string: run the SF seed

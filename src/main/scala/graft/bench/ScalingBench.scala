@@ -33,16 +33,23 @@ object ScalingBench {
   private class CpuWallListener extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     val runMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufWriteB = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufReadB = new java.util.concurrent.atomic.AtomicLong(0)
     override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime) }
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime)
+        shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
     }
     def cpuSec: Double = cpuNs.get / 1e9
     def runSec: Double = runMs.get / 1e3
     def cpuFraction: Double = if (runSec > 0) cpuSec / runSec else 0.0
   }
 
-  case class RunStats(nDocs: Long, wallSec: Double, cpuSec: Double, runSec: Double) {
+  case class RunStats(nDocs: Long, wallSec: Double, cpuSec: Double, runSec: Double,
+                      shufWriteMB: Double, shufReadMB: Double) {
     def cpuFraction: Double = if (runSec > 0) cpuSec / runSec else 0.0
   }
 
@@ -52,7 +59,7 @@ object ScalingBench {
     * named group (final write, dim collects) lands in "(ungrouped)". */
   private class StageCpuListener extends org.apache.spark.scheduler.SparkListener {
     private val stageToGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-    val perGroup = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val perGroup = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Long)]()
     override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       val g = Option(js.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
@@ -63,16 +70,18 @@ object ScalingBench {
       val m = te.taskMetrics
       if (m != null) {
         val g = stageToGroup.getOrDefault(te.stageId, "(ungrouped)")
-        perGroup.merge(g, (m.executorCpuTime, m.executorRunTime),
-          (a, b) => (a._1 + b._1, a._2 + b._2))
+        perGroup.merge(g, (m.executorCpuTime, m.executorRunTime,
+          m.shuffleWriteMetrics.bytesWritten, m.shuffleReadMetrics.totalBytesRead),
+          (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
       }
     }
     def report(cores: Int): Unit = {
       import scala.jdk.CollectionConverters._
-      perGroup.asScala.toSeq.sortBy(-_._2._2).foreach { case (g, (cpuNs, runMs)) =>
+      perGroup.asScala.toSeq.sortBy(-_._2._2).foreach { case (g, (cpuNs, runMs, sw, sr)) =>
         val cpu = cpuNs / 1e9; val run = runMs / 1e3
         System.err.println(f"[stagecpu] cores=$cores $g%-24s cpu=$cpu%8.1f s " +
-          f"run=$run%8.1f s frac=${if (run > 0) cpu / run else 0.0}%.3f")
+          f"run=$run%8.1f s frac=${if (run > 0) cpu / run else 0.0}%.3f " +
+          f"shufW=${sw / 1048576.0}%9.1f MB shufR=${sr / 1048576.0}%9.1f MB")
       }
     }
   }
@@ -105,20 +114,30 @@ object ScalingBench {
       System.err.println(f"[stage] triples_write          ${(System.nanoTime() - tw) / 1e9}%8.2f s")
       val secs = (System.nanoTime() - t0) / 1e9
       // Drain the async listener bus before reading the counters
-      // (listenerBus.waitUntilEmpty is private[spark]): poll until the
-      // task counters are stable for a full interval, bounded at ~30 s —
-      // a fixed sleep under-reported taskCpu/taskRun on large runs.
-      var prev = -1L
+      // (listenerBus.waitUntilEmpty is private[spark]): poll until EACH
+      // task counter separately is stable for TWO consecutive 500 ms
+      // intervals (a bus draining with >500 ms gaps between task-end
+      // events, or offsetting changes in a summed probe, would otherwise
+      // exit early and under-report), bounded at ~30 s.
+      var prevCpu = -1L
+      var prevRun = -1L
+      var quiet = 0
       var tries = 0
-      while (tries < 60 && listener.cpuNs.get + listener.runMs.get != prev) {
-        prev = listener.cpuNs.get + listener.runMs.get
+      while (tries < 60 && quiet < 2) {
+        if (listener.cpuNs.get == prevCpu && listener.runMs.get == prevRun) quiet += 1
+        else quiet = 0
+        prevCpu = listener.cpuNs.get
+        prevRun = listener.runMs.get
         Thread.sleep(500)
         tries += 1
       }
       System.err.println(f"[cpu] cores=$cores taskCpu=${listener.cpuSec}%.1f s " +
-        f"taskRun=${listener.runSec}%.1f s cpuFraction=${listener.cpuFraction}%.3f")
+        f"taskRun=${listener.runSec}%.1f s cpuFraction=${listener.cpuFraction}%.3f " +
+        f"shufW=${listener.shufWriteB.get / 1048576.0}%.1f MB " +
+        f"shufR=${listener.shufReadB.get / 1048576.0}%.1f MB")
       stageListener.foreach(_.report(cores))
-      RunStats(nDocs, secs, listener.cpuSec, listener.runSec)
+      RunStats(nDocs, secs, listener.cpuSec, listener.runSec,
+        listener.shufWriteB.get / 1048576.0, listener.shufReadB.get / 1048576.0)
     } finally spark.stop()
   }
 
@@ -182,6 +201,7 @@ object ScalingBench {
       f""""taskCpuFracLow":${low.cpuFraction}%.3f,"taskCpuFracHigh":${high.cpuFraction}%.3f,""" +
       f""""taskCpuSecLow":${low.cpuSec}%.1f,"taskCpuSecHigh":${high.cpuSec}%.1f,""" +
       f""""taskRunSecLow":${low.runSec}%.1f,"taskRunSecHigh":${high.runSec}%.1f,""" +
+      f""""shufWriteMBHigh":${high.shufWriteMB}%.1f,"shufReadMBHigh":${high.shufReadMB}%.1f,""" +
       f""""cpuProbeSecsLow":$pLow%.2f,"cpuProbeSecsHigh":$pHigh%.2f,""" +
       f""""cpuProbeEfficiency":$pEff%.3f}"""
     println(json)

@@ -80,6 +80,7 @@ object T2dDiag {
       // of the key cell (ignores thresholds/topN)
       val kt = Candidates.keyTokens(cells, keyCols)
       val anyHit = kt.join(index, "token")
+        .join(Candidates.tableDim(keyCols), "tableId")
         .select("tableName", "rowNum", "uri").distinct()
       val reach = gs.join(anyHit, Seq("tableName", "rowNum", "uri"), "left_semi").count()
       println(f"DIAG token-reachable gold links: $reach/$nGold = ${reach.toDouble / nGold}%.4f")

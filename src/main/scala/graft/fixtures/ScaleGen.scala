@@ -23,10 +23,31 @@ object ScaleGen {
     * are near-unique entity names; a tiny vocabulary creates cross-class
     * token collisions no real corpus has (and additive class weights then
     * amplify the noise — see ClassDecision semantics). */
+  /** `hotToken` > 0 plants a deliberately Zipfian shared token: every
+    * hotToken-th entity's label gains the literal token "hotshared", so
+    * the candidate token join sees ONE key whose index df is
+    * nEntities/hotToken and whose web-side occurrences scale with the
+    * corpus — the pathological head key the saltHotTokenDf guard exists
+    * for (tools.SaltProbe measures salted vs plain on this shape).
+    * Default 0: no change to any existing corpus. */
+  /** `tableNamePad` > 0 pads table names with a deterministic per-table
+    * hex infix of that length — real web-table corpora carry long opaque
+    * file names (T2D: ~34 chars), and the shuffle-weight effect of
+    * carrying the name string through hot keys only shows at realistic
+    * lengths (tools.TableIdProbe). Default 0: names stay "tblN.csv". */
   case class Config(nClasses: Int = 20, nEntities: Int = 20000,
                     nTables: Int = 200, rowsPerTable: Int = 50,
                     vocab: Int = 300000, labelTokens: Int = 3,
-                    noisePct: Int = 10, mediaEvery: Int = 7, seed: Long = 42L)
+                    noisePct: Int = 10, mediaEvery: Int = 7, seed: Long = 42L,
+                    hotToken: Int = 0, tableNamePad: Int = 0)
+
+  /** Table name for a tableId column under `cfg` (see tableNamePad). */
+  def tableNameExpr(cfg: Config, tableId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (cfg.tableNamePad > 0)
+      concat(lit("tbl"),
+        substring(md5(concat(lit("pad"), tableId.cast("string"))), 1,
+          cfg.tableNamePad), tableId, lit(".csv"))
+    else concat(lit("tbl"), tableId, lit(".csv"))
 
   /** Zipfian class boundaries: class k gets a share ∝ 1/(k+1). */
   private def classBoundaries(cfg: Config): Array[Long] = {
@@ -48,8 +69,12 @@ object ScaleGen {
         when(col("id") >= bounds(k) && col("id") < bounds(k + 1), lit(k)).otherwise(acc)
       }
     }
-    val lbl = concat_ws(" ", (0 until cfg.labelTokens).map(s =>
+    val lbl0 = concat_ws(" ", (0 until cfg.labelTokens).map(s =>
       word(xxhash64(lit(cfg.seed), col("id"), lit(s)), cfg.vocab)): _*)
+    val lbl = if (cfg.hotToken > 0)
+      when(pmod(col("id"), lit(cfg.hotToken)) === 0,
+        concat(lbl0, lit(" hotshared"))).otherwise(lbl0)
+    else lbl0
     spark.range(bounds.last)
       .withColumn("classId", classIdExpr)
       .withColumn("uri", concat(lit("kb://e"), col("id")))
@@ -127,7 +152,7 @@ object ScaleGen {
       .withColumn("entityId", col("lo") +
         pmod(xxhash64(lit(cfg.seed), col("tableId"), col("rowNum")), col("span")))
       .join(e, "entityId")
-      .withColumn("tableName", concat(lit("tbl"), col("tableId"), lit(".csv")))
+      .withColumn("tableName", tableNameExpr(cfg, col("tableId")))
       .withColumn("noisy",
         pmod(xxhash64(lit(cfg.seed), col("tableId"), col("rowNum"), lit(600)),
           lit(100)) < cfg.noisePct)
@@ -155,7 +180,7 @@ object ScaleGen {
           span(lit("text"), col("propNum"), nullS, 2),
           span(lit("text"), col("propDate"), nullS, 3))).as("spans"))
     val headerDocs = tables.select(
-      concat(lit("tbl"), col("tableId"), lit(".csv#h")).as("doc_id"),
+      concat(tableNameExpr(cfg, col("tableId")), lit("#h")).as("doc_id"),
       array(span(lit("header"), lit("name"), nullS, 0),
         span(lit("header"), lit("strprop"), nullS, 1),
         span(lit("header"), lit("numprop"), nullS, 2),
@@ -164,10 +189,10 @@ object ScaleGen {
 
     val gsInstance = withEntity.select(col("tableName"),
       col("rowNum").cast("int").as("rowNum"), col("uri"))
-    val gsClass = tables.select(concat(lit("tbl"), col("tableId"), lit(".csv")).as("tableName"),
+    val gsClass = tables.select(tableNameExpr(cfg, col("tableId")).as("tableName"),
       concat(lit("class"), col("tableClass")).as("className"))
     val gsProperty = tables.select(
-        concat(lit("tbl"), col("tableId"), lit(".csv")).as("tableName"),
+        tableNameExpr(cfg, col("tableId")).as("tableName"),
         col("tableClass"))
       .select(col("tableName"), explode(array(
         struct(lit(0).as("colIdx"), lit(Dtype.RdfsLabelUri).as("propUri")),

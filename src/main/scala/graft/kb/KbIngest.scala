@@ -135,9 +135,16 @@ object KbIngest {
     // the suffix deflates every label-GSJ score for object properties
     // (measured on T2D: GSJ(header "language", "language label") = 0.5,
     // below junk matches like longName at 0.625 — the reference pair lost
-    // the column).
+    // the column). The strip is CONDITIONED on the stripped base matching
+    // the propUri's local name (case-insensitive): a genuine property
+    // whose header legitimately ends in "_label" (record_label) keeps its
+    // full header — only the twin-derived "<localName>_label" shape is
+    // collapsed.
+    val hdrBase = regexp_replace(col("propHeader"), "_label$", "")
+    val localName = element_at(split(col("propUri"), "/"), -1)
     val propDim = schemaDim.groupBy("propUri")
-      .agg(min(regexp_replace(col("propHeader"), "_label$", "")).as("header"))
+      .agg(min(when(lower(hdrBase) === lower(localName), hdrBase)
+        .otherwise(col("propHeader"))).as("header"))
       .join(declPick, Seq("propUri"), "left")
       .join(valueStats, Seq("propUri"), "left")
       .withColumn("dtype",

@@ -134,6 +134,18 @@ object Dedup {
     (hi << 32) | lo
   }
 
+  private val tokenHash64Udf = udf((t: String) => tokenHash64(t))
+
+  /** Vocabulary-level (token, hash) dictionary of [[tokenHash64]] — the
+    * one non-SQL-expressible piece of the simhash kernel. Dumped to
+    * parquet by the verify entry so an external oracle (DuckDB) can
+    * recompute signatures, blocks and the pair set in plain SQL from the
+    * same hashes (see SparkEntry.q_simhash_pairs). */
+  def tokenHashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenSets(docs, idCol, textCol)
+      .select(explode(col("toks")).as("token")).distinct()
+      .withColumn("hash", tokenHash64Udf(col("token")))
+
   private val simhashUdf = udf((toks: Seq[String]) => {
     // SimHash kernel: per-bit majority vote over token hashes.
     val counts = new Array[Int](64)

@@ -29,18 +29,32 @@ import org.apache.spark.sql.functions._
  */
 object Candidates {
 
+  /** Dictionary dim for re-attaching table names after the hot path:
+    * (tableId = xxhash64(tableName), tableName), one row per table with a
+    * detected key column — O(#tables), joined only against the top-N
+    * SURVIVORS, never the aggregation volumes. The hot candidate shuffles
+    * (token join, per-name groupBy, top-N window) key on the fixed 8-byte
+    * id instead of the table-name string — the same dictionary-encoding
+    * the KB side already uses (classId, nameId = xxhash64(nameNorm)), and
+    * it accepts the same negligible birthday-collision odds (~n²/2⁶⁵ for
+    * n tables; a collision would merge two tables' candidate row sets). */
+  def tableDim(keyCols: DataFrame): DataFrame =
+    keyCols.select(col("tableName")).distinct()
+      .withColumn("tableId", xxhash64(col("tableName")))
+
   /** cells + keyCols -> one record per (row, distinct key token). Only the
-    * token and the set size survive into the shuffle — the key string
-    * itself is not needed downstream (Jaccard is computed from counts). */
+    * 8-byte tableId, the token and the set size survive into the shuffle —
+    * neither the key string nor the table-name string is needed downstream
+    * (Jaccard is computed from counts; names re-attach via [[tableDim]]). */
   def keyTokens(cells: DataFrame, keyCols: DataFrame): DataFrame = {
     cells.join(keyCols, Seq("tableName", "colIdx"))
       .filter(col("kind") === "text")
-      .select(col("tableName"), col("rowNum"),
+      .select(xxhash64(col("tableName")).as("tableId"), col("rowNum"),
         Normalize.normaliseCol(col("text")).as("keyNorm"))
       .filter(col("keyNorm").isNotNull)
       .withColumn("keyTokens", array_distinct(split(col("keyNorm"), " ")))
       .withColumn("nKeyTok", size(col("keyTokens")))
-      .select(col("tableName"), col("rowNum"), col("nKeyTok"),
+      .select(col("tableId"), col("rowNum"), col("nKeyTok"),
         explode(col("keyTokens")).as("token"))
   }
 
@@ -106,7 +120,7 @@ object Candidates {
     *
     * Shuffle shape (the engine's single biggest aggregation): the uri
     * string stays OUT of the token join and the per-name groupBy — rows
-    * aggregate on (tableName, rowNum, classId, nameId, counts), the
+    * aggregate on (tableId, rowNum, classId, nameId, counts), the
     * per-name threshold is applied on the aggregated counts, and uris
     * are re-attached to the (much smaller) survivor set through the
     * (nameId, classId) name dim. Equivalent output: every uri sharing a
@@ -143,17 +157,17 @@ object Candidates {
       else kt.join(idx, "token")
     // No broadcast hint: classesPerTable is O(#tables) rows — at
     // millions of tables that's a multi-GB driver broadcast. AQE
-    // decides; the left-semi is fine as a shuffle.
+    // decides; the left-semi is fine as a shuffle. `cpt` arrives
+    // pre-encoded as (tableId, classId).
     val hits = classesPerTable match {
-      case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
-        Seq("tableName", "classId"), "left_semi")
+      case Some(cpt) => hits0.join(cpt, Seq("tableId", "classId"), "left_semi")
       case None => hits0
     }
     val aggs =
       if (withIdf) Seq(count(lit(1)).as("shared"), sum(col("idf")).as("idfSum"))
       else Seq(count(lit(1)).as("shared"))
     val scored = hits
-      .groupBy(col("tableName"), col("rowNum"), col("classId"),
+      .groupBy(col("tableId"), col("rowNum"), col("classId"),
         col("nameId"), col("nNameTok"), col("nKeyTok"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("jaccard", col("shared").cast("double") /
@@ -161,7 +175,7 @@ object Candidates {
       .filter(col("jaccard") >= simThreshold)
     val nameDim = candidateTokens
       .select("nameId", "classId", "uri").distinct()
-    val outCols = Seq(col("tableName"), col("rowNum"), col("uri"),
+    val outCols = Seq(col("tableId"), col("rowNum"), col("uri"),
       col("classId"), col("nameId"), col("nNameTok"), col("nKeyTok"),
       col("jaccard")) ++ (if (withIdf) Seq(col("idfSum")) else Nil)
     scored.join(nameDim, Seq("nameId", "classId")).select(outCols: _*)
@@ -176,8 +190,8 @@ object Candidates {
     * intersection alone admits distance-2 pairs).
     *
     * Shuffle shape: the two countDistinct aggregates force a 3x expand,
-    * so the aggregation runs on NARROW keys — (tableName, rowNum,
-    * classId, nameId, counts), no uri string — with the per-name
+    * so the aggregation runs on NARROW keys — (tableId, rowNum,
+    * classId, nameId, counts), no uri or table-name string — with the per-name
     * threshold applied on the aggregated counts BEFORE uris are
     * re-attached through the (nameId, classId) name dim. Equivalent:
     * nameId = hash(nameNorm) means every uri sharing a name has an
@@ -208,18 +222,17 @@ object Candidates {
     // 2) rows join through the verified pairs — two equi-joins at the
     // exact leg's scale; the variant fan-out never touches row payloads.
     // uri stays OUT of the hot join/aggregation (narrow-key shape above).
-    val hits0 = kt.select(col("tableName"), col("rowNum"), col("nKeyTok"),
+    val hits0 = kt.select(col("tableId"), col("rowNum"), col("nKeyTok"),
         col("token").as("keyToken"))
       .join(edPairs, "keyToken")
       .join(candidateTokens.select(col("classId"), col("nameId"),
         col("nNameTok"), col("token").as("idxToken")).distinct(), "idxToken")
     val hits = classesPerTable match {
-      case Some(cpt) => hits0.join(cpt.select("tableName", "classId"),
-        Seq("tableName", "classId"), "left_semi")
+      case Some(cpt) => hits0.join(cpt, Seq("tableId", "classId"), "left_semi")
       case None => hits0
     }
     val scored = hits
-      .groupBy(col("tableName"), col("rowNum"), col("classId"),
+      .groupBy(col("tableId"), col("rowNum"), col("classId"),
         col("nameId"), col("nNameTok"), col("nKeyTok"))
       .agg(countDistinct(when(col("keyToken") === col("idxToken"),
         col("keyToken"))).as("shared"),
@@ -235,7 +248,7 @@ object Candidates {
     val nameDim = candidateTokens
       .select("nameId", "classId", "uri").distinct()
     scored.join(nameDim, Seq("nameId", "classId"))
-      .select(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+      .select(col("tableId"), col("rowNum"), col("uri"), col("classId"),
         col("nameId"), col("nNameTok"), col("nKeyTok"), col("jaccard"))
   }
 
@@ -263,27 +276,34 @@ object Candidates {
                           numCandidates: Int, simThreshold: Double,
                           maxEditDistance: Int = 1, variantTokenDfCap: Long = 2000,
                           variants: Option[DataFrame] = None): DataFrame = {
-    val filtered = selection.join(classesPerTable.select("tableName", "classId"),
-      Seq("tableName", "classId"), "left_semi")
+    // Hot path runs on 8-byte tableIds (see tableDim); the checkpointed
+    // selection and the class dim are encoded on entry, names re-attach
+    // on the top-N survivors only.
+    val cpt = classesPerTable
+      .select(xxhash64(col("tableName")).as("tableId"), col("classId"))
+    val filtered = selection
+      .withColumn("tableId", xxhash64(col("tableName"))).drop("tableName")
+      .join(cpt, Seq("tableId", "classId"), "left_semi")
     val exactHits = filtered.filter(col("score") >= simThreshold)
     val perUri =
       if (maxEditDistance <= 0) exactHits
       else {
-        val hitRows = exactHits.select("tableName", "rowNum").distinct()
+        val hitRows = exactHits.select("tableId", "rowNum").distinct()
         val missKt = keyTokens(cells, keyCols)
-          .join(hitRows, Seq("tableName", "rowNum"), "left_anti")
-        val fuzzy = fuzzyPerName(missKt, candidateTokens, Some(classesPerTable),
+          .join(hitRows, Seq("tableId", "rowNum"), "left_anti")
+        val fuzzy = fuzzyPerName(missKt, candidateTokens, Some(cpt),
           maxEditDistance, variantTokenDfCap, variants, simThreshold)
-          .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))
+          .groupBy(col("tableId"), col("rowNum"), col("uri"), col("classId"))
           .agg(max(col("jaccard")).as("score"))
           .filter(col("score") >= simThreshold)
-        exactHits.select("tableName", "rowNum", "uri", "classId", "score")
+        exactHits.select("tableId", "rowNum", "uri", "classId", "score")
           .unionByName(fuzzy)
       }
-    val w = Window.partitionBy(col("tableName"), col("rowNum"))
+    val w = Window.partitionBy(col("tableId"), col("rowNum"))
       .orderBy(col("score").desc, col("uri").asc)
     perUri.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= numCandidates).drop("rk")
+      .join(tableDim(keyCols), "tableId")
       .select("tableName", "rowNum", "uri", "classId", "score")
   }
 
@@ -295,9 +315,11 @@ object Candidates {
                rankByIdf: Boolean = false,
                saltHotTokenDf: Long = 0L): DataFrame = {
     val kt = keyTokens(cells, keyCols)
+    val cptEnc = classesPerTable.map(_
+      .select(xxhash64(col("tableName")).as("tableId"), col("classId")))
     val perName =
       if (maxEditDistance <= 0) {
-        exactPerName(kt, candidateTokens, classesPerTable, rankByIdf,
+        exactPerName(kt, candidateTokens, cptEnc, rankByIdf,
           saltHotTokenDf, simThreshold)
       } else {
         // Fuzzy-on-miss: the exact leg runs for ALL rows; the deletion-
@@ -313,22 +335,22 @@ object Candidates {
         // SERIALIZED storage: the default deserialized blocks are ~10x the
         // on-wire size and OOM'd a 32-thread 8g JVM on the T2D corpus
         // while the per-name aggregation was still running alongside.
-        val exact = exactPerName(kt, candidateTokens, classesPerTable,
+        val exact = exactPerName(kt, candidateTokens, cptEnc,
           withIdf = false, saltHotTokenDf, simThreshold).localCheckpoint(false,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         // exactPerName already applies the per-name threshold, so hit
         // rows are simply the rows with ANY surviving exact candidate
-        val hitRows = exact.select("tableName", "rowNum").distinct()
-        val missKt = kt.join(hitRows, Seq("tableName", "rowNum"), "left_anti")
-        val fuzzy = fuzzyPerName(missKt, candidateTokens, classesPerTable,
+        val hitRows = exact.select("tableId", "rowNum").distinct()
+        val missKt = kt.join(hitRows, Seq("tableId", "rowNum"), "left_anti")
+        val fuzzy = fuzzyPerName(missKt, candidateTokens, cptEnc,
           maxEditDistance, variantTokenDfCap, variants, simThreshold)
         // union is exact-for-hit-rows ∪ fuzzy-for-miss-rows: the fuzzy leg
         // re-derives every exact share of a miss row through self-variants,
         // and its greatest() score dominates the exact leg's, so the
         // per-uri max below resolves the overlap for miss rows.
-        exact.select("tableName", "rowNum", "uri", "classId", "nameId",
+        exact.select("tableId", "rowNum", "uri", "classId", "nameId",
             "nNameTok", "nKeyTok", "jaccard")
-          .unionByName(fuzzy.select("tableName", "rowNum", "uri", "classId",
+          .unionByName(fuzzy.select("tableId", "rowNum", "uri", "classId",
             "nameId", "nNameTok", "nKeyTok", "jaccard"))
       }
     // R2: max over {label} ∪ surface forms. With rankByIdf the top-N cut
@@ -340,17 +362,18 @@ object Candidates {
         Seq(max(col("jaccard")).as("score"), max(col("idfSum")).as("retrieval"))
       else Seq(max(col("jaccard")).as("score"))
     val perUri = perName
-      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))
+      .groupBy(col("tableId"), col("rowNum"), col("uri"), col("classId"))
       .agg(uriAggs.head, uriAggs.tail: _*)
       .filter(col("score") >= simThreshold)
     val ordering =
       if (rankByIdf && maxEditDistance <= 0)
         Seq(col("retrieval").desc, col("score").desc, col("uri").asc)
       else Seq(col("score").desc, col("uri").asc)
-    val w = Window.partitionBy(col("tableName"), col("rowNum"))
+    val w = Window.partitionBy(col("tableId"), col("rowNum"))
       .orderBy(ordering: _*)
     perUri.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= numCandidates).drop("rk")
+      .join(tableDim(keyCols), "tableId")
       .select("tableName", "rowNum", "uri", "classId", "score")
   }
 }

@@ -47,7 +47,9 @@ object Streams {
    * statefully — and does not need to: each document links independently
    * of every other, so foreachBatch runs the full BATCH kernel
    * (Candidates.generate + top-1) on each micro-batch and appends to the
-   * sink. Exactly-once per batch via the foreachBatch batchId; at
+   * sink. foreachBatch is AT-LEAST-ONCE on retry: exactly-once semantics
+   * hold only when the sink is idempotent per batchId (e.g. overwrite a
+   * batchId-partitioned path, or MERGE keyed on batchId); at
    * 10^12-doc scale the static index side is the same bucketed
    * candidate_tokens table the batch pipeline checkpoints, and each
    * micro-batch is an independent bounded join (no stream state at all).

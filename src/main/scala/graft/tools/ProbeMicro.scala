@@ -17,12 +17,19 @@ object ProbeMicro {
       println(f"PROBE|$l|${(System.nanoTime() - t0) / 1e9}%.2f")
       r
     }
+    // arg(0): checkpointer to probe — local (default) | cache | noop
+    val ckpt: graft.checkpoint.Checkpointer = args.lift(0) match {
+      case Some("cache") => graft.checkpoint.CacheCheckpointer
+      case Some("noop") => graft.checkpoint.NoopCheckpointer
+      case _ => graft.checkpoint.LocalCheckpointer
+    }
     for (i <- 1 to 2) {
       val kb = time(s"kb_ingest_$i") {
         KbIngest.fromLodTables(spark, MicroCorpus.lodTables, MicroCorpus.classHierarchy) }
       val res = time(s"pipeline_def_$i") {
         T2KPipeline.run(MicroCorpus.docs(spark), kb,
-          MicroCorpus.surfaceFormsDf(spark), MicroCorpus.classHierarchy.toMap) }
+          MicroCorpus.surfaceFormsDf(spark), MicroCorpus.classHierarchy.toMap,
+          ckpt = ckpt) }
       time(s"triples_count_$i") { res.triples.count() }
     }
     spark.stop()

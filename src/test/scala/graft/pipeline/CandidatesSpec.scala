@@ -74,6 +74,25 @@ class CandidatesSpec extends SparkSpec {
     assert(out("u1") === 1.0) // the exact surface form, not 2/3 via the label
   }
 
+  test("retrieval rank uses only threshold-clearing names (IDF cut)") {
+    // ADVICE r4: a sub-threshold name carrying the max idfSum must NOT
+    // set its uri's retrieval rank — the per-name threshold applies
+    // before the per-uri max(idfSum) (the Lucene-faithful reading: the
+    // reference re-scores the retrieved name itself). u1's high-idf name
+    // "gamma g1..g9" scores 1/12 < 0.3; under the pre-narrow-key
+    // semantics its idfSum=50 would out-rank u2's 3 at the top-1 cut.
+    val longTail = (1 to 9).map(i => s"g$i").mkString(" ")
+    val index = indexOf(("u1", 0, "alpha"), ("u1", 0, s"gamma $longTail"),
+        ("u2", 0, "alpha beta"))
+      .withColumn("idf", coalesce(element_at(
+        typedLit(Map("alpha" -> 1.0, "beta" -> 2.0, "gamma" -> 50.0)),
+        col("token")), lit(0.1)))
+    val out = Candidates.generate(cellsOf(0 -> "alpha beta gamma"), keyCols,
+      index, numCandidates = 1, simThreshold = 0.3, rankByIdf = true)
+      .select($"uri").as[String].collect().toSeq
+    assert(out === Seq("u2"))
+  }
+
   test("class filter prunes before scoring") {
     val index = indexOf(("a1", 1, "iota kappa"), ("a2", 2, "iota kappa"))
     val cpt = Seq(("t", 1)).toDF("tableName", "classId")
