@@ -52,11 +52,18 @@ object T2KPipeline {
           .orderBy(col("score").desc, col(tieCol).asc)))
       .filter(col("rk") === 1).drop("rk")
 
-  /** Lazy persist for SMALL reused dims: avoids both recomputation and the
-    * serial job barrier an eager checkpoint would add. Plans stay shallow
-    * because their heavy inputs are checkpoint-truncated. */
+  /** Lazy LOCAL CHECKPOINT for reused dims — materialise once at the
+    * first action (no serial job barrier) AND truncate the logical plan.
+    * The r4 persist()-based version kept each dim's full plan visible to
+    * every consumer, so the classes/pairs/dup0 subtrees (which nest each
+    * other) were re-ANALYZED inside every downstream stage's definition:
+    * measured 22 s of the micro pipeline's 29 s driver-side Catalyst
+    * work, and the same multiplicative re-analysis on every corpus.
+    * Truncation bounds each subtree's planning to once. Blocks are
+    * ContextCleaner-reclaimed; recompute-on-eviction is lost (fine in a
+    * single JVM; on a cluster these dims are small). */
   private def cache(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.localCheckpoint(false)
 
   def run(docs: DataFrame, kb: KbIngest.Ingested, surfaceForms: DataFrame,
           hierarchy: Map[String, String],
