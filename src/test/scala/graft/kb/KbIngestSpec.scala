@@ -37,6 +37,21 @@ class KbIngestSpec extends SparkSpec {
     assert(w("kbtable1") === 0.0 && w("Thing") === 1.0)
   }
 
+  test("_label strip conditioned on the propUri local name (ADVICE r4)") {
+    import spark.implicits._
+    val rows = Seq(
+      // twin-derived header: localName "language" + "_label" -> stripped
+      ("c1", "http://dbpedia.org/ontology/language", "language_label", "u1", "German"),
+      // genuine property whose local name itself ends in _label -> kept
+      ("c1", "http://dbpedia.org/ontology/record_label", "record_label", "u1", "EMI"),
+      ("c1", Dtype.RdfsLabelUri, "label", "u1", "Thing One"))
+      .toDF("className", "propUri", "propHeader", "uri", "rawValue")
+    val kb2 = KbIngest.fromLongForm(spark, rows, Seq("c1" -> "root"))
+    val h = kb2.props.collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(h("http://dbpedia.org/ontology/language") === "language")
+    assert(h("http://dbpedia.org/ontology/record_label") === "record_label")
+  }
+
   test("kb rows and cells") {
     assert(kb.rows.count() === 10)
     // each entity: 1 label + 1 value cell
