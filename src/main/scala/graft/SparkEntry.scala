@@ -48,8 +48,10 @@ object SparkEntry {
     * the driver's verify scale (sf0.01). */
   private def simhashTokensDir: String = sys.env.getOrElse(
     "GRAFT_SIMHASH_TOKENS_DIR", "/root/repo/target/oracle_aux")
+  private def auxPath(dir: String, name: String): String =
+    s"$simhashTokensDir/${name}_${new java.io.File(dir).getName}.parquet"
   private def simhashTokensPath(dir: String): String =
-    s"$simhashTokensDir/simhash_tokens_${new java.io.File(dir).getName}.parquet"
+    auxPath(dir, "simhash_tokens")
 
   /** Provenance label carried in the gated q_reference_parity row itself,
     * so the R=0.9016 number can't be quoted as single-run recall: it names
@@ -318,12 +320,28 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // MinHash-LSH near-dup (hash-based: rows-only oracle). Threshold 0.8:
-    // the synthetic documents share a tiny vocabulary, so 0.5 would accept
-    // a quadratic fraction of all pairs at larger SFs.
-    "q_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", 0.8,
-        numHashes = 64, bands = 8)),
+    // MinHash-LSH near-dup. Fully oracle-checked like q_simhash_pairs:
+    // the two non-SQL primitives (token -> xxhash64, and the 64
+    // permutation values xxhash64(h, i) over the vocabulary's hashes) are
+    // dumped to parquet; the DuckDB oracle recomputes signatures (min per
+    // permutation), band keys (the '_'-joined slice STRING — equal
+    // strings iff the engine's equal band hashes, modulo xxhash
+    // collisions), bucket caps, the pair join and the exact-Jaccard
+    // verify in SQL. Threshold 0.8: the synthetic documents share a tiny
+    // vocabulary, so 0.5 would accept a quadratic fraction of all pairs.
+    "q_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(explode(array_distinct(
+          TextAnalysis.tokensCol(col("text")))).as("token"))
+        .distinct().withColumn("h", xxhash64(col("token")))
+        .localCheckpoint(true)
+      toks.coalesce(1).write.mode("overwrite").parquet(auxPath(dir, "minhash_tokens"))
+      toks.select(col("h"), posexplode(transform(sequence(lit(0), lit(63)),
+          i => xxhash64(col("h"), i))).as(Seq("i", "v")))
+        .coalesce(1).write.mode("overwrite").parquet(auxPath(dir, "minhash_perms"))
+      Dedup.minhashLsh(docs, "doc_id", "text", 0.8,
+        numHashes = 64, bands = 8)
+    }),
 
     // SimHash near-dup. Fully oracle-checked: the only non-SQL piece is
     // the per-token string hash, so the entry dumps the vocabulary-level
@@ -544,6 +562,15 @@ object SparkEntry {
     "list_distinct(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> ''))"
 
   def oracleSql: Map[String, String] = Map(
+    // Pinned VALUES goldens for the deterministic hash-based operators
+    // (GoldenOracles — regression gates, same pattern as q_t2k_triples;
+    // algorithmic properties are separately OpsSpec/OneToOneSpec-gated).
+    "q_embed_lsh_neardup" -> GoldenOracles.embedLshNeardup,
+    "q_onetoone_hungarian" -> GoldenOracles.onetooneHungarian,
+    "q_similarity_flooding" -> GoldenOracles.similarityFlooding,
+    "q_fingerprint" -> GoldenOracles.fingerprint,
+    "q_multimodal_features" -> GoldenOracles.multimodalFeatures,
+
     "q_agg" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -894,6 +921,40 @@ object SparkEntry {
         | rw.raw / m.mx AS score
         |FROM rw JOIN m ON rw.gk = m.gk
         |WHERE m.mx > 0 AND rw.raw / m.mx >= 0.1""".stripMargin,
+
+    // MinHash-LSH pair set recomputed from the dumped hash primitives:
+    // signatures = per-permutation min over the doc's token hashes, band
+    // key = the 8-value slice joined '_' (string equality mirrors the
+    // engine's band-hash equality), bucket cap, pair join, exact-Jaccard
+    // verify on distinct shared hashes over distinct-token set sizes.
+    "q_minhash_lsh" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest($tokenSql) AS tok FROM documents),
+         |th AS (SELECT t.doc_id, d.h FROM toks t
+         | JOIN read_parquet('$simhashTokensDir/minhash_tokens_sf0.01.parquet/*.parquet') d
+         |  ON t.tok = d.token),
+         |sig AS (SELECT th.doc_id, p.i, min(p.v) AS v
+         | FROM th JOIN read_parquet('$simhashTokensDir/minhash_perms_sf0.01.parquet/*.parquet') p
+         |  ON th.h = p.h
+         | GROUP BY th.doc_id, p.i),
+         |band AS (SELECT doc_id, CAST(i // 8 AS INT) AS b,
+         |  string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+         | FROM sig GROUP BY doc_id, (i // 8)),
+         |kept AS (SELECT * FROM band
+         | QUALIFY count(*) OVER (PARTITION BY b, key) <= 10000),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         | FROM kept x JOIN kept y ON x.b = y.b AND x.key = y.key
+         |  AND x.doc_id < y.doc_id),
+         |n AS (SELECT doc_id, count(DISTINCT tok) AS n FROM toks GROUP BY doc_id),
+         |sh AS (SELECT c.id1, c.id2, count(DISTINCT a.h) AS s
+         | FROM cand c JOIN th a ON a.doc_id = c.id1
+         | JOIN th b2 ON b2.doc_id = c.id2 AND b2.h = a.h
+         | GROUP BY c.id1, c.id2)
+         |SELECT sh.id1, sh.id2,
+         | CAST(s AS DOUBLE) / (n1.n + n2.n - s) AS jaccard
+         |FROM sh JOIN n n1 ON n1.doc_id = sh.id1
+         | JOIN n n2 ON n2.doc_id = sh.id2
+         |WHERE CAST(s AS DOUBLE) / (n1.n + n2.n - s) >= 0.8""".stripMargin,
 
     // SimHash pair set recomputed from the dumped token-hash dictionary:
     // per-bit majority vote -> 64-bit fingerprint (bit 63 added as the
