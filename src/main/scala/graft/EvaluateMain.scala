@@ -54,6 +54,14 @@ object EvaluateMain {
     val prf = Evaluator.evaluate(corrs, positives, Seq("leftId", "rightId"))
     println(f"P=${prf.precision}%.4f R=${prf.recall}%.4f F1=${prf.f1}%.4f " +
       s"(tp=${prf.tp} predicted=${prf.predicted} gold=${prf.gold})")
+    // --per-table <dir>: the per-table evaluation matrix (same shape as
+    // T2KMain's evaluation_* CSVs — counts, P/R/F1, binary precision).
+    opts.get("per-table").foreach { dir =>
+      Evaluator.perGroup(corrs, positives, Seq("leftId", "rightId"),
+          split(col("leftId"), "~").getItem(0)).orderBy("tableName")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      println(s"wrote per-table evaluation matrix -> $dir")
+    }
     spark.stop()
   }
 }

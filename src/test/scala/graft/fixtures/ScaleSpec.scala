@@ -47,6 +47,29 @@ class ScaleSpec extends SparkSpec {
     assert(prf.precision >= 0.95 && prf.recall >= 0.95, s"class: $prf")
   }
 
+  test("generator knobs: hotToken plants the head token, tableNamePad pads names") {
+    val hot = cfg.copy(nEntities = 1000, hotToken = 10)
+    val e = ScaleGen.entities(spark, hot)
+    val nHot = e.filter(col("label").endsWith(" hotshared")).count()
+    assert(nHot === e.filter(pmod(col("entityId"), lit(10)) === 0).count())
+    assert(nHot >= 90 && nHot <= 110) // every 10th of ~1000 (Zipf rounding)
+    // default config: no hotshared anywhere (existing corpora unchanged)
+    assert(ScaleGen.entities(spark, cfg.copy(nEntities = 1000))
+      .filter(col("label").contains("hotshared")).count() === 0)
+
+    val padded = cfg.copy(nTables = 20, rowsPerTable = 5, tableNamePad = 28)
+    val names = ScaleGen.webCorpus(spark, padded)._1
+      .select(org.apache.spark.sql.functions.substring_index(
+        col("doc_id"), "#", 1).as("t")).distinct()
+      .collect().map(_.getString(0))
+    assert(names.length === 20) // padding is per-table deterministic + distinct
+    assert(names.forall(n => n.length >= 28 + 8 && n.endsWith(".csv")), names.take(3).toSeq)
+    // default: short names
+    assert(ScaleGen.webCorpus(spark, cfg.copy(nTables = 3, rowsPerTable = 2))._1
+      .select(org.apache.spark.sql.functions.substring_index(col("doc_id"), "#", 1))
+      .distinct().collect().forall(_.getString(0).length < 15))
+  }
+
   test("parquet checkpointer: resume reproduces identical triples with manifest") {
     val dir = Files.createTempDirectory("graft_ckpt").toString
     val small = cfg.copy(nTables = 10, rowsPerTable = 10, nEntities = 500)

@@ -52,6 +52,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in candidate gen:\n$plan")
   }
 
+  test("hot candidate aggregations/windows key on tableId, not the name string") {
+    val docs = MicroCorpus.docs(spark)
+    val kb = KbIngest.fromLodTables(spark, MicroCorpus.lodTables, MicroCorpus.classHierarchy)
+    val cells = SpanCodec.cells(docs)
+    val keyCols = Keys.detect(SpanCodec.columns(docs))
+    val index = CandidateIndex.build(kb.cells, MicroCorpus.surfaceFormsDf(spark))
+    val cands = Candidates.generate(cells, keyCols, index, 50, 0.2)
+    val plan = executedPlan(cands)
+    // the HOT candidate aggregations (per-name/per-uri — the only ones
+    // carrying nNameTok) and the per-row top-N windows (the only ones
+    // partitioned on rowNum) must key on the 8-byte tableId. String-keyed
+    // METADATA aggregations (per-column stats, key detection, the
+    // tableDim distinct itself) are fine — they are O(#tables) rows.
+    val offending = plan.linesIterator.filter { l =>
+      val hotAgg = l.contains("HashAggregate(keys=") &&
+        (l.contains("nNameTok") || l.contains("rowNum"))
+      val hotWin = l.contains("windowspecdefinition(") && l.contains("rowNum")
+      (hotAgg || hotWin) && l.contains("tableName")
+    }.toList
+    assert(offending.isEmpty, s"string key in hot path:\n${offending.mkString("\n")}")
+    assert(plan.contains("tableId"), s"no tableId in plan:\n$plan")
+  }
+
   test("full pipeline plans contain no cartesian products") {
     val docs = MicroCorpus.docs(spark)
     val kb = KbIngest.fromLodTables(spark, MicroCorpus.lodTables, MicroCorpus.classHierarchy)
