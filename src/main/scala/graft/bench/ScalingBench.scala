@@ -167,7 +167,10 @@ object ScalingBench {
     val cfg = ScaleGen.Config(
       nTables = args.lift(2).map(_.toInt).getOrElse(400),
       rowsPerTable = args.lift(3).map(_.toInt).getOrElse(100),
-      nEntities = args.lift(4).map(_.toInt).getOrElse(50000))
+      nEntities = args.lift(4).map(_.toInt).getOrElse(50000),
+      // realistic table-name lengths for shuffle-byte studies (see
+      // ScaleGen.tableNamePad); default 0 keeps historical ledger inputs
+      tableNamePad = sys.env.getOrElse("SPARK_GRAFT_NAMEPAD", "0").toInt)
     val dataDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_scaling")
 
     // Generate input once (seeded, deterministic).

@@ -60,7 +60,10 @@ object Classes {
       .join(decisionClasses.select("tableName", "classId"),
         Seq("tableName", "classId"), "left_semi")
       .groupBy(col("tableName"), col("classId"))
-      .agg(sum(col("score")).as("classScore"))
+      // exact sum (see Schema.duplicateBased): the argmax below — and the
+      // emitted classScore — must not depend on partition merge order
+      .agg(sum(col("score").cast("decimal(30,15)")).cast("double")
+        .as("classScore"))
     // Ties (common for tables whose only schema corr is the key: every
     // decision class owning rdfs:label sums to 1.0) break on the CLASS
     // DECISION's distribution score — the information-bearing signal —

@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
  *
  * Shape: one flat join (candidates × schema corrs × web cell × KB value),
  * then a single hash aggregation — no nested correspondence graphs.
+ *
+ * Shuffle shape: the flat join and both aggregations run on 8-byte
+ * dictionary ids — tableId = xxhash64(tableName) AND uriId =
+ * xxhash64(uri) (KB entity URIs are ~50-char strings; carrying them
+ * through the join and two groupBys is the stage's largest payload at
+ * realistic URI lengths) — with both strings re-attached to the
+ * thresholded survivors through the candidates frame itself (unique per
+ * (table, row, uri), so the re-attach is an equi-join on the narrow
+ * key). Same collision policy as nameId/tableId (~n²/2⁶⁵).
  */
 object Identity {
 
@@ -43,14 +52,18 @@ object Identity {
         Seq("tableName", "colIdx"), "left")
       .withColumn("isKey", coalesce(col("isKey"), lit(false)))
       .withColumn("w", when(col("isKey"), lit(keyWeight)).otherwise(col("score")))
-      .select(col("tableName"), col("colIdx"), col("propId"), col("w"), col("isKey"))
+      .select(xxhash64(col("tableName")).as("tableId"), col("colIdx"),
+        col("propId"), col("w"), col("isKey"))
     val colMeta = webCols
       .withColumn("yearRange",
         coalesce((col("maxYear") - col("minYear")).cast("double"), lit(1.0)))
-      .select("tableName", "colIdx", "dtype", "yearRange")
+      .select(xxhash64(col("tableName")).as("tableId"), col("colIdx"),
+        col("dtype"), col("yearRange"))
     val webVals = cells.filter(col("kind") === "text")
-      .select("tableName", "rowNum", "colIdx", "text")
-    val kbVals = kbCells.select(col("uri"), col("propId"), col("value").as("kbValue"))
+      .select(xxhash64(col("tableName")).as("tableId"), col("rowNum"),
+        col("colIdx"), col("text"))
+    val kbVals = kbCells.select(xxhash64(col("uri")).as("uriId"),
+      col("propId"), col("value").as("kbValue"))
 
     val strSim = Udfs.gsjFast(Normalize.normaliseCol(col("text")),
       Normalize.normaliseCol(col("kbValue")))
@@ -72,16 +85,17 @@ object Identity {
         .otherwise(strSim)
 
     val perCorr = candidates
-      .select(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+      .select(xxhash64(col("tableName")).as("tableId"), col("rowNum"),
+        xxhash64(col("uri")).as("uriId"), col("classId"),
         col("score").as("candScore"))
-      .join(corrs, Seq("tableName"))
-      .join(webVals, Seq("tableName", "rowNum", "colIdx"), "left")
-      .join(kbVals, Seq("uri", "propId"), "left")
-      .join(colMeta, Seq("tableName", "colIdx"), "left")
+      .join(corrs, Seq("tableId"))
+      .join(webVals, Seq("tableId", "rowNum", "colIdx"), "left")
+      .join(kbVals, Seq("uriId", "propId"), "left")
+      .join(colMeta, Seq("tableId", "colIdx"), "left")
       .withColumn("rawSim", typedSim)
       // Multi-valued KB cells: best value counts (max ignores nulls; sim0
       // stays null only when NO comparable value exists for the pair).
-      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"),
+      .groupBy(col("tableId"), col("rowNum"), col("uriId"), col("classId"),
         col("candScore"), col("colIdx"), col("w"), col("isKey"))
       .agg(max(col("rawSim")).as("sim0"))
       // key: 1/3 key comparator + 2/3 string comparator, always counted;
@@ -91,8 +105,21 @@ object Identity {
           col("candScore") / 3 + coalesce(col("sim0"), lit(0.0)) * 2 / 3)
         .otherwise(when(col("sim0") >= valueThreshold, col("sim0")).otherwise(0.0)))
 
-    perCorr.groupBy(col("tableName"), col("rowNum"), col("uri"), col("classId"))
-      .agg((sum(col("sim") * col("w")) / sum(col("w"))).as("score"))
+    // exact decimal sums (see Schema.duplicateBased): the weighted average
+    // is a pure function of the correspondence set, bit-identical under
+    // any partitioning/parallelism
+    val scored = perCorr
+      .groupBy(col("tableId"), col("rowNum"), col("uriId"), col("classId"))
+      .agg((sum((col("sim") * col("w")).cast("decimal(30,15)")).cast("double") /
+        sum(col("w").cast("decimal(30,15)")).cast("double")).as("score"))
       .filter(col("score") >= threshold)
+    // re-attach the strings through the candidates frame (unique per
+    // (table, row, uri) — the survivor set's own identity)
+    scored.join(candidates
+        .select(col("tableName"), col("rowNum"), col("uri"), col("classId"))
+        .withColumn("tableId", xxhash64(col("tableName")))
+        .withColumn("uriId", xxhash64(col("uri"))),
+        Seq("tableId", "rowNum", "uriId", "classId"))
+      .select("tableName", "rowNum", "uri", "classId", "score")
   }
 }

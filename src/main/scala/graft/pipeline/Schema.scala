@@ -100,34 +100,54 @@ object Schema {
                      voteThreshold: Double = 0.4,
                      resultThreshold: Double = 0.02,
                      surfaceForms: Option[DataFrame] = None): DataFrame = {
+    // The top-dupK window keeps its STRING tie-break (score desc, uri asc
+    // — reference ordering); the ids enter only after it, so the heavy
+    // joins and both vote aggregations below run on 8-byte tableId/uriId
+    // instead of the table-name and ~50-char URI strings (same
+    // dictionary-encoding + collision policy as the candidate path).
     val dups = candidates.filter(col("score") >= dupThreshold)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("tableName"), col("rowNum"))
           .orderBy(col("score").desc, col("uri").asc)))
       .filter(col("rk") <= dupK)
-      .select(col("tableName"), col("rowNum"), col("uri"), col("score").as("dupScore"))
+      .select(xxhash64(col("tableName")).as("tableId"), col("rowNum"),
+        xxhash64(col("uri")).as("uriId"), col("score").as("dupScore"))
     val webVals = cells.filter(col("kind") === "text")
-      .select("tableName", "rowNum", "colIdx", "text")
+      .select(xxhash64(col("tableName")).as("tableId"), col("rowNum"),
+        col("colIdx"), col("text"))
     val kbVals = expandWithSurfaceForms(
       kbCells.select(col("uri"), col("propId"), col("value").as("kbValue")),
       surfaceForms)
+      .withColumn("uriId", xxhash64(col("uri"))).drop("uri")
     // pairs is O(#tables × cols × props) — never force a broadcast of it;
     // AQE broadcasts when it measures small.
+    val pairsEnc = pairs.filter(col("propId") =!= KbIngest.RdfsLabelPropId)
+      .withColumn("tableId", xxhash64(col("tableName"))).drop("tableName")
     val joined = dups
-      .join(webVals, Seq("tableName", "rowNum"))
-      .join(pairs.filter(col("propId") =!= KbIngest.RdfsLabelPropId),
-        Seq("tableName", "colIdx"))
-      .join(kbVals, Seq("uri", "propId"))
+      .join(webVals, Seq("tableId", "rowNum"))
+      .join(pairsEnc, Seq("tableId", "colIdx"))
+      .join(kbVals, Seq("uriId", "propId"))
       .withColumn("sim", valueSim("dtype"))
     // Multi-valued KB cells: one vote per (duplicate, column pair) = max sim.
     val votes = joined
-      .groupBy(col("tableName"), col("rowNum"), col("uri"), col("colIdx"),
+      .groupBy(col("tableId"), col("rowNum"), col("uriId"), col("colIdx"),
         col("propId"), col("dupScore"))
       .agg(max(col("sim")).as("sim"))
       .filter(col("sim") >= voteThreshold)
-    votes.groupBy(col("tableName"), col("colIdx"), col("propId"))
-      .agg((sum(col("sim") * col("dupScore")) / count(lit(1))).as("score"))
+    // EXACT decimal accumulation: a double sum's value depends on the
+    // nondeterministic partition/merge order (ulp drift that can flip
+    // borderline thresholds downstream — measured when the shuffle keys
+    // changed); decimal(30,15) addition is exact, so the score is a pure
+    // function of the vote SET — bit-identical under any partitioning,
+    // parallelism or cluster size.
+    votes.groupBy(col("tableId"), col("colIdx"), col("propId"))
+      .agg((sum((col("sim") * col("dupScore")).cast("decimal(30,15)"))
+        .cast("double") / count(lit(1))).as("score"))
       .filter(col("score") >= resultThreshold)
+      // re-attach names on the schema-level result (O(#tables × cols))
+      .join(pairs.select(col("tableName")).distinct()
+        .withColumn("tableId", xxhash64(col("tableName"))), "tableId")
+      .select("tableName", "colIdx", "propId", "score")
   }
 
   /** R7/R10: label-based matching over headers of blocked pairs. */
@@ -148,7 +168,9 @@ object Schema {
     val merged = dup.withColumn("score", col("score") * wDup)
       .unionByName(label.withColumn("score", col("score") * wLabel))
       .groupBy(col("tableName"), col("colIdx"), col("propId"))
-      .agg(sum(col("score")).as("score"))
+      // exact sum (see duplicateBased): the 0.03 threshold below must not
+      // depend on which union leg's partition merges first
+      .agg(sum(col("score").cast("decimal(30,15)")).cast("double").as("score"))
       .filter(col("score") >= threshold)
     // key corrs win over any conflicting derived corr for the same column
     merged.join(keyCorrs.select("tableName", "colIdx"),
@@ -161,5 +183,5 @@ object Schema {
     prev.withColumn("score", col("score") * 0.5)
       .unionByName(cur.withColumn("score", col("score") * 0.5))
       .groupBy(col("tableName"), col("colIdx"), col("propId"))
-      .agg(sum(col("score")).as("score"))
+      .agg(sum(col("score").cast("decimal(30,15)")).cast("double").as("score"))
 }
