@@ -288,6 +288,28 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rk"))
     }),
 
+    // IVF ANN (the single-cell scale path next to the LSH leg). Fully
+    // oracle-checked via the q_simhash_pairs pattern: the only non-SQL
+    // primitive is the trained quantiser, so the entry dumps the corpus
+    // cell assignment + the query probe lists to parquet and the DuckDB
+    // oracle recomputes the probe join, exact cosine and top-k in SQL.
+    // Centroid training itself is pinned by IvfSpec (layout-deterministic;
+    // nProbe = nCells reproduces brute force exactly).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SimSearch.trainCentroids(emb, "vec_id", "embedding",
+        nCells = 16, iterations = 2)
+      val queries = emb.filter(col("vec_id") < 8)
+      SimSearch.ivfAssign(emb, "vec_id", "embedding", cents)
+        .coalesce(1).write.mode("overwrite").parquet(auxPath(dir, "ivf_assign"))
+      SimSearch.ivfProbe(queries, "vec_id", "embedding", cents, nProbe = 4)
+        .coalesce(1).write.mode("overwrite").parquet(auxPath(dir, "ivf_probe"))
+      SimSearch.ivfTopK(queries, emb, "vec_id", "embedding", 5, cents,
+          nProbe = 4)
+        .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rk"))
+    }),
+
     // exact embedding-cosine near-dup pairs (the dedup baseline; the scale
     // path is the LSH-bucketed variant). The corpus embeddings are random
     // (max pairwise cosine ~0.44), so near-dups are PLANTED: each vec_id <
@@ -1018,6 +1040,27 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
         | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
         |FROM s
-        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin,
+
+    // IVF ANN: probe join + exact cosine + top-k recomputed in SQL from
+    // the dumped cell assignment / probe lists (the trained quantiser is
+    // the non-SQL primitive, same pattern as q_simhash_pairs). Aux paths
+    // pin the driver's verify scale (sf0.01).
+    "q_ann_ivf" ->
+      s"""WITH a AS (SELECT * FROM read_parquet('$simhashTokensDir/ivf_assign_sf0.01.parquet/*.parquet')),
+         |p AS (SELECT * FROM read_parquet('$simhashTokensDir/ivf_probe_sf0.01.parquet/*.parquet')),
+         |n AS (SELECT vec_id, embedding,
+         |  sqrt((SELECT sum(x * x) FROM (SELECT unnest(embedding) AS x) z)) AS nrm
+         | FROM embeddings),
+         |s AS (SELECT p.id AS query_id, a.id AS neighbor_id,
+         |  (SELECT sum(x * y) FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y) z)
+         |    / (q.nrm * c.nrm) AS cosine
+         | FROM p JOIN a ON a.cell = p.cell AND a.id <> p.id
+         | JOIN n q ON q.vec_id = p.id
+         | JOIN n c ON c.vec_id = a.id)
+         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+         | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5""".stripMargin
   )
 }

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
  *    a bucket in at least one of `tables` sign-bit projections, then exact
  *    re-rank. At 10^12 rows the all-pairs join is impossible; the bucket
  *    join shuffles only (table, bucket) groups.
- *  - IVF-style coarse quantisation: assign each vector to the nearest of
- *    k seeded centroid hashes (cheap proxy without kmeans deps), probe
- *    only matching cells.
+ *  - IVF coarse quantisation: k-means cells trained deterministically
+ *    (hash-seeded init + exact-decimal Lloyd steps — no RNG, no MLlib
+ *    dep, identical centroids at any parallelism), corpus vectors live in
+ *    exactly one cell, queries probe their nProbe nearest cells, exact
+ *    cosine re-ranks.
  */
 object SimSearch {
 
@@ -98,6 +100,112 @@ object SimSearch {
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qv", "cid", "cv").distinct()
     cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rk"))
+  }
+
+  // --- IVF-style coarse quantisation --------------------------------------
+
+  /** Deterministic IVF centroid training, Spark-native and order-free:
+    * cells are seeded with the `nCells` corpus vectors of smallest
+    * `xxhash64(id)` (a total order — no RNG, no sampling nondeterminism),
+    * then refined by `iterations` Lloyd steps whose per-component means
+    * accumulate in decimal(30,15) (exact, associative — identical
+    * centroids at ANY parallelism level, the same guarantee the pipeline's
+    * score sums carry). Returned centroids are unit-normalised so cosine
+    * argmax over cells reduces to a plain dot-product argmax per row.
+    * Driver-side state is nCells x dim doubles — trivial at any corpus
+    * scale; each Lloyd step is one shuffle of (cell, pos) partial sums. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iterations: Int = 2): Array[Array[Double]] = {
+    val base = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    var cents: Array[Array[Double]] = base
+      .withColumn("h", xxhash64(col("cid")))
+      .orderBy(col("h"), col("cid")).limit(nCells)
+      .select("cv").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iterations) {
+      val unit = cents.map(normalised)
+      val sums = base
+        .withColumn("cell", nearestCell(col("cv"), unit))
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        next(cell)(r.getInt(1)) =
+          (r.getDecimal(2).doubleValue() / r.getLong(3)) // empty cells keep seed
+      }
+      cents = next
+    }
+    cents.map(normalised)
+  }
+
+  private def normalised(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Index of the max-dot centroid (struct array_min on (-dot, cell):
+    * lexicographic struct ordering gives argmax with cell-asc tie-break —
+    * codegen'd, no UDF). Centroids ship as array literals. */
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    array_min(cellScores(vec, cents)).getField("cell")
+
+  private def cellScores(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (cArr, i) =>
+      struct((lit(0.0d) - dot(vec, typedLit(cArr.toSeq))).as("negDot"),
+        lit(i).as("cell"))
+    }: _*)
+
+  /** The `nProbe` nearest cells for a query vector, nearest first. */
+  private def probeCells(vec: Column, cents: Array[Array[Double]],
+                         nProbe: Int): Column =
+    transform(slice(array_sort(cellScores(vec, cents)), 1, nProbe),
+      s => s.getField("cell"))
+
+  /** Corpus-side cell assignment (one cell per vector) — exposed so sinks
+    * and oracles can materialise the inverted file. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                cents: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .select(col("id"), nearestCell(col("_v"), cents).as("cell"))
+
+  /** Query-side probe list (nProbe rows per query). */
+  def ivfProbe(queries: DataFrame, idCol: String, vecCol: String,
+               cents: Array[Array[Double]], nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .select(col("id"),
+        explode(probeCells(col("_v"), cents, nProbe)).as("cell"))
+
+  /**
+   * ANN via IVF: corpus vectors live in exactly ONE cell (so, unlike the
+   * multi-table LSH leg, the candidate set needs no distinct), queries
+   * probe their `nProbe` nearest cells, exact cosine re-ranks. `cellCap`
+   * drops degenerate cells the same way capBuckets does for LSH. At 10^12
+   * rows the inverted file is a bucketed parquet table partitioned by
+   * cell; the probe join shuffles only the probed cells.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, cents: Array[Array[Double]],
+              nProbe: Int = 4, cellCap: Int = 1000000): DataFrame = {
+    val c = capBuckets(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+        .withColumn("cell", nearestCell(col("cv").cast("array<double>"), cents)),
+      Seq("cell"), cellCap)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(probeCells(col("qv").cast("array<double>"), cents, nProbe)))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
       .filter(col("rk") <= k)
