@@ -177,6 +177,20 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("jaccard"))
     }),
 
+    // Character 5-gram Jaccard near-dup on documents — the boundary-free
+    // leg of the dedup family (catches concatenation/reordering dups that
+    // word-token sets miss). Bounded to a FIXED 500-doc slice at every
+    // scale: the synthetic corpus draws from a ~2k-shingle vocabulary, so
+    // a proportional slice makes the df cap scale-relative (at 2000 docs
+    // every shingle exceeds df 200 and recall degenerates to zero).
+    // Cap 200 is ACTIVE at 500 docs (uncapped yields 25 pairs, capped 12),
+    // so the oracle covers the cap semantics, not just the Jaccard math.
+    "q_neardup_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, dfCap = 200, gramSize = 5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }),
+
     // T2K candidate generation (B1/B2/R1/R2) over part-name entities.
     // Query side bounded to 2000 rows (all rows at the sf0.01 verify
     // scale); the index side stays complete — the realistic asymmetry
@@ -703,6 +717,26 @@ object SparkEntry {
         |p AS (SELECT a.id AS id1, b.id AS id2, any_value(a.n) AS n1,
         |  any_value(b.n) AS n2, count(*) AS shared
         | FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+        |FROM p WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.5""".stripMargin,
+
+    // char-5-gram mirror of q_neardup_jaccard: DuckDB rebuilds the shingle
+    // sets (same lower + whitespace-collapse normalisation, 1-based substr,
+    // full n-grams only), applies the df<=200 stop-gram floor pre-join, and
+    // keeps n1/n2 as FULL set sizes — exactly the engine's cap semantics.
+    "q_neardup_ngram" ->
+      """WITH nrm AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        | FROM documents WHERE doc_id < 500),
+        |s AS (SELECT doc_id AS id,
+        |  list_distinct(CASE WHEN length(nt) >= 5
+        |   THEN list_transform(range(0, length(nt) - 4), i -> substr(nt, CAST(i + 1 AS INT), 5))
+        |   ELSE CAST([] AS VARCHAR[]) END) AS toks
+        | FROM nrm),
+        |t AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s WHERE len(toks) > 0),
+        |kept AS (SELECT * FROM t QUALIFY count(*) OVER (PARTITION BY tok) <= 200),
+        |p AS (SELECT a.id AS id1, b.id AS id2, any_value(a.n) AS n1,
+        |  any_value(b.n) AS n2, count(*) AS shared
+        | FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
         |SELECT id1, id2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
         |FROM p WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.5""".stripMargin,
 

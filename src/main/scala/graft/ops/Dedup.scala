@@ -34,15 +34,38 @@ object Dedup {
       .withColumn("nTok", size(col("toks")))
       .filter(col("nTok") > 0)
 
+  /** Distinct character-n-gram sets (the boundary-free analog of
+    * [[tokenSets]]; see TextAnalysis.charShinglesCol). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  gramSize: Int): DataFrame =
+    docs.select(col(idCol).as("docId"),
+        array_distinct(TextAnalysis.charShinglesCol(col(textCol), gramSize))
+          .as("toks"))
+      .withColumn("nTok", size(col("toks")))
+      .filter(col("nTok") > 0)
+
   /**
-   * Token-set Jaccard near-duplicate pairs (docId1 < docId2, jaccard >=
-   * threshold). `dfCap` drops tokens shared by more than dfCap docs from
-   * the index side (stop-token floor) — without it the self-join explodes
-   * quadratically on Zipfian tokens.
+   * Set-Jaccard near-duplicate pairs (docId1 < docId2, jaccard >=
+   * threshold) over word tokens (gramSize = 0) or character n-grams
+   * (gramSize = n). `dfCap` drops units shared by more than dfCap docs
+   * from the index side (stop-token/stop-gram floor) — without it the
+   * self-join explodes quadratically on Zipfian units; n1/n2 stay FULL
+   * set sizes, so a capped unit can only lose recall, never inflate a
+   * score.
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, dfCap: Long = 1000000): DataFrame = {
-    val sets = tokenSets(docs, idCol, textCol)
+                   threshold: Double, dfCap: Long = 1000000,
+                   gramSize: Int = 0): DataFrame = {
+    // eager localCheckpoint (same convention/rationale as minhashLsh):
+    // the set-building expression feeds FOUR plan legs (a-side, b-side,
+    // two df-count legs), and Catalyst additionally substitutes it into
+    // the pushed-down size()>0 scan filter — without a materialisation
+    // barrier the O(set²) array_distinct runs ~16× per doc (measured
+    // 13 s → 4.2 s on the 500-doc 5-gram bench slice; an extra hash
+    // repartition before the checkpoint was measured neutral-to-worse,
+    // so the scan partitioning is kept as-is).
+    val sets = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
+      else tokenSets(docs, idCol, textCol)).localCheckpoint(true)
     val toks = sets.select(col("docId"), col("nTok"), explode(col("toks")).as("tok"))
     val kept = toks.join(
       toks.groupBy("tok").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)

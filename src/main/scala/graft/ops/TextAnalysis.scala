@@ -17,6 +17,18 @@ object TextAnalysis {
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
       t => t =!= "")
 
+  /** Character n-gram shingles over the normalised text (lowercased,
+    * whitespace collapsed): the boundary-free near-dup unit — catches
+    * word-reordering/concatenation dups that token sets miss. Pure
+    * codegen (substr over a sequence literal), no UDF; texts shorter
+    * than n yield no shingles. */
+  def charShinglesCol(text: Column, n: Int): Column = {
+    val s = lower(regexp_replace(text, "\\s+", " "))
+    when(length(s) >= n,
+        transform(sequence(lit(0), length(s) - n), i => s.substr(i + 1, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Per-document token count / char stats / punctuation + stopword ratios
     * and a composite quality score in [0,1]. */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {

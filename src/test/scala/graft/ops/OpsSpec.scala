@@ -29,6 +29,25 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("char n-gram jaccard catches concatenation dups token sets miss") {
+    // shingle golden: normalisation collapses whitespace, full grams only
+    val sh = Seq(Tuple1("AB  cd")).toDF("text")
+      .select(TextAnalysis.charShinglesCol($"text", 3).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(sh === Seq("ab ", "b c", " cd"))
+    assert(Seq(Tuple1("ab")).toDF("text")
+      .select(TextAnalysis.charShinglesCol($"text", 3).as("g"))
+      .collect().head.getSeq[String](0).isEmpty)
+    // "alphabeta" vs "alpha beta": token sets nearly disjoint, 4-gram
+    // sets mostly shared — the boundary-free leg exists for exactly this
+    val d = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alphabeta gamma delta")).toDF("doc_id", "text")
+    def j(gram: Int) = Dedup.jaccardPairs(d, "doc_id", "text", 0.0, 100, gram)
+      .collect().head.getDouble(2)
+    assert(j(4) > j(0), s"ngram ${j(4)} should beat token ${j(0)}")
+    assert(j(0) < 0.5 && j(4) > 0.5)
+  }
+
   test("minhash-LSH finds the same near-dups as exact jaccard") {
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
