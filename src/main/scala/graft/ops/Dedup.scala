@@ -86,8 +86,9 @@ object Dedup {
     * (xxhash64(tokenHash, i)) — ~10× kernel reduction vs re-hashing the
     * token string per permutation. Returns (docId, array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64): DataFrame = {
-    val sets = tokenSets(docs, idCol, textCol)
+                        numHashes: Int = 64, gramSize: Int = 0): DataFrame = {
+    val sets = if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
+      else tokenSets(docs, idCol, textCol)
     val hashed = sets.withColumn("hs", transform(col("toks"), t => xxhash64(t)))
     val sig = transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(col("hs"), h => xxhash64(h, i))))
@@ -114,17 +115,19 @@ object Dedup {
    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                 bucketCap: Int = 10000): DataFrame = {
+                 bucketCap: Int = 10000, gramSize: Int = 0): DataFrame = {
     val rows = numHashes / bands
-    // token strings are hashed ONCE per doc; signatures, buckets and the
-    // verify step all work on the 8-byte hashes — token text never enters
-    // a shuffle (narrow rows at 100 TB)
+    // unit strings (word tokens, or char n-grams when gramSize > 0 — the
+    // canonical shingle→minhash→band→bucket pipeline) are hashed ONCE per
+    // doc; signatures, buckets and the verify step all work on the 8-byte
+    // hashes — unit text never enters a shuffle (narrow rows at 100 TB)
     // eager localCheckpoint, NOT persist: hashed is consumed by the
     // signature pass and twice by the verify join, but a CacheManager
     // persist outlives the call (sweep-style benches invoke this per
     // config and would leak cached blocks). Checkpoint blocks are
     // reclaimed by the ContextCleaner once the returned frame is dropped.
-    val hashed = tokenSets(docs, idCol, textCol)
+    val hashed = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
+      else tokenSets(docs, idCol, textCol))
       .select(col("docId"), col("nTok"),
         array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
       .localCheckpoint(true)
@@ -148,6 +151,35 @@ object Dedup {
         (col("n1") + col("n2") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /**
+   * Banded LSH index rows of a corpus: (docId, nTok, hs, band, bucket),
+   * one row per (doc, band), carrying the sorted hashed set for the
+   * verify step. This is the STATIC side a stream of new documents
+   * probes (see Streams.dedupDocs): at scale, write it once as a table
+   * bucketed by (band, bucket) and every micro-batch probe is a
+   * bounded join with no full-corpus rescan. Same `bucketCap` rationale
+   * as [[minhashLsh]], applied at index-build time; identical
+   * numHashes/bands/gramSize MUST be used on the probe side — the band
+   * hashes are parameter-dependent.
+   */
+  def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 64, bands: Int = 16,
+                     bucketCap: Int = 10000, gramSize: Int = 0): DataFrame = {
+    val rows = numHashes / bands
+    val hashed = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
+      else tokenSets(docs, idCol, textCol))
+      .select(col("docId"), col("nTok"),
+        array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("hs"), h => xxhash64(h, i))))
+    val withSig = hashed.withColumn("signature", sig)
+    val bandCols = array((0 until bands).map(b =>
+      xxhash64(concat_ws("_", slice(col("signature"), b * rows + 1, rows)))): _*)
+    capBuckets(withSig.select(col("docId"), col("nTok"), col("hs"),
+        posexplode(bandCols).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), bucketCap)
   }
 
   /** 64-bit hash of a token (deterministic, pure Scala kernel). */

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.StructType
  *  - windowedEventCounts: watermarked sliding-window aggregation over an
  *    event stream (late data bounded by the watermark);
  *  - sessionize: custom state via mapGroupsWithState — gap-based session
- *    assembly per user, the canonical stateful-op shape.
+ *    assembly per user, the canonical stateful-op shape;
+ *  - linkDocs / dedupDocs: stream × static-index joins (entity linking,
+ *    near-dup detection) via foreachBatch over the verified batch
+ *    kernels — each micro-batch is an independent bounded join.
  */
 object Streams {
 
@@ -67,6 +70,47 @@ object Streams {
         val linked = graft.pipeline.Candidates.generate(
           cells, keyCols, candidateTokens, numCandidates, simThreshold)
         sink(linked, batchId)
+      }
+      .start()
+
+  /**
+   * Incremental near-duplicate detection: a STREAM of new documents
+   * probed against the STATIC LSH index of an existing corpus
+   * (Dedup.minhashBuckets — at 100 TB a table bucketed by (band,
+   * bucket), so each micro-batch probe is a bounded join, never a
+   * full-corpus rescan). Same architecture as [[linkDocs]]: new docs
+   * near-dup-check independently of each other, so foreachBatch runs
+   * the bounded batch kernel per micro-batch — no stream state. The
+   * probe side MUST use the numHashes/bands/gramSize the index was
+   * built with (band hashes are parameter-dependent). Candidate pairs
+   * from bucket collisions are verified with exact Jaccard over the
+   * hashed sets, so precision vs the index corpus is 1.0.
+   *
+   * `sink(dups, batchId)` receives (doc_id, dup_of, jaccard) rows: the
+   * batch's docs that near-duplicate an indexed doc at >= threshold.
+   * foreachBatch is at-least-once on retry — the sink must be
+   * idempotent per batchId for exactly-once.
+   */
+  def dedupDocs(docsStream: DataFrame, staticBuckets: DataFrame,
+                threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                gramSize: Int = 0)
+               (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ops.Dedup
+        val probe = Dedup.minhashBuckets(batch.toDF(), "doc_id", "text",
+            numHashes, bands, bucketCap = Int.MaxValue, gramSize = gramSize)
+          .select(col("docId").as("newId"), col("nTok").as("newN"),
+            col("hs").as("newHs"), col("band"), col("bucket"))
+        val dups = probe.join(staticBuckets, Seq("band", "bucket"))
+          .dropDuplicates("newId", "docId")
+          .withColumn("shared", size(array_intersect(col("newHs"), col("hs"))))
+          .withColumn("jaccard", col("shared").cast("double") /
+            (col("newN") + col("nTok") - col("shared")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("newId").as("doc_id"), col("docId").as("dup_of"),
+            col("jaccard"))
+        sink(dups, batchId)
       }
       .start()
 

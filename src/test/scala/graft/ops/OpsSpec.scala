@@ -83,6 +83,32 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("shingle-minhash-LSH recall >= 0.9 vs exact n-gram jaccard") {
+    // the canonical shingle→minhash→band→bucket pipeline: near-dup copies
+    // differ by one in-place character edit, so char-5-gram sets stay
+    // >0.8 similar while the LSH only ever sees the 8-byte shingle hashes
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 150).map { i =>
+      (i.toLong, Array.fill(25)(s"w${rnd.nextInt(5000)}x${rnd.nextInt(997)}").mkString(" "))
+    }
+    val near = (0 until 80).map { i =>
+      val cs = base(i)._2.toCharArray
+      cs(10 + rnd.nextInt(cs.length - 10)) = ('a' + rnd.nextInt(26)).toChar
+      (1000L + i, new String(cs))
+    }
+    val corpus = (base ++ near).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.8,
+        dfCap = 1000000, gramSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(corpus, "doc_id", "text", 0.8,
+        numHashes = 64, bands = 16, gramSize = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"fixture too weak: ${exact.size} true pairs")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"shingle-LSH recall $recall over ${exact.size}")
+    assert(lsh.subsetOf(exact)) // verify step keeps precision 1.0
+  }
+
   test("embedding LSH near-dup recalls the brute-force pairs (planted dups)") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 150).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))

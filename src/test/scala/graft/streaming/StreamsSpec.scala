@@ -80,6 +80,37 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("incremental near-dup vs a static LSH index, across micro-batches") {
+    import graft.ops.Dedup
+    implicit val sc = spark.sqlContext
+    // static corpus: 3 docs; index built once with the shared parameters
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about database systems design"),
+      (3L, "streaming joins need bounded state or a static side")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBuckets(corpus, "doc_id", "text").persist()
+    // stream: one near-dup of doc 1, one of doc 3, two novel docs —
+    // delivered across TWO genuine micro-batches
+    val nearOf1 = "the quick brown fox jumps over the lazy dog today"
+    val nearOf3 = "streaming joins need bounded state or a static sides"
+    val in = MemoryStream[(Long, String)]
+    val got = collection.mutable.Set[(Long, Long)]()
+    val batches = collection.mutable.Set[Long]()
+    val q = Streams.dedupDocs(in.toDF().toDF("doc_id", "text"), index, 0.5) {
+      (df, id) =>
+        got ++= df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+        batches += id
+    }
+    in.addData((100L, nearOf1), (101L, "totally novel content first"))
+    q.processAllAvailable()
+    in.addData((102L, nearOf3), (103L, "another novel document entirely"))
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size >= 2) // genuinely incremental
+    assert(got.toSet === Set((100L, 1L), (102L, 3L)))
+  }
+
   test("stateful sessionization emits closed sessions") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
