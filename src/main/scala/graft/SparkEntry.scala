@@ -177,6 +177,17 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("jaccard"))
     }),
 
+    // Prefix-filtered (AllPairs/PPJoin) exact Jaccard — recall-lossless
+    // scale path of the dedup family. The oracle is the EXHAUSTIVE pair
+    // join (no cap, no prefix), so the check proves the prefix filter
+    // drops nothing end-to-end, scores included.
+    "q_neardup_prefix" -> ((s, dir) => {
+      val part = t(s, dir, "part").filter(col("p_partkey") < 2000)
+        .select(col("p_partkey").as("doc_id"), col("p_name").as("text"))
+      Dedup.jaccardPairsPrefix(part, "doc_id", "text", 0.5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }),
+
     // Character 5-gram Jaccard near-dup on documents — the boundary-free
     // leg of the dedup family (catches concatenation/reordering dups that
     // word-token sets miss). Bounded to a FIXED 500-doc slice at every
@@ -713,6 +724,20 @@ object SparkEntry {
       """WITH s AS (SELECT p_partkey AS id,
         |  list_distinct(list_filter(string_split(lower(regexp_replace(p_name, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS toks
         | FROM part WHERE p_partkey < 5000),
+        |t AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
+        |p AS (SELECT a.id AS id1, b.id AS id2, any_value(a.n) AS n1,
+        |  any_value(b.n) AS n2, count(*) AS shared
+        | FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+        |FROM p WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.5""".stripMargin,
+
+    // exhaustive mirror for the prefix-filtered variant: DuckDB joins on
+    // EVERY token occurrence — any pair the engine's prefix filter loses
+    // (or any score drift through the hashed verify) breaks the hash match
+    "q_neardup_prefix" ->
+      """WITH s AS (SELECT p_partkey AS id,
+        |  list_distinct(list_filter(string_split(lower(regexp_replace(p_name, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS toks
+        | FROM part WHERE p_partkey < 2000),
         |t AS (SELECT id, len(toks) AS n, unnest(toks) AS tok FROM s),
         |p AS (SELECT a.id AS id1, b.id AS id2, any_value(a.n) AS n1,
         |  any_value(b.n) AS n2, count(*) AS shared

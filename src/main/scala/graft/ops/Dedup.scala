@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,56 @@ object Dedup {
     a.join(b, "tok").filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /**
+   * Exact set-Jaccard near-dup pairs via AllPairs/PPJoin-style prefix
+   * filtering — output-identical to UNCAPPED [[jaccardPairs]], but
+   * recall-LOSSLESS where the dfCap trades tail recall for a bounded
+   * worst case. Under a global (df, unit) order, two sets with J >= t
+   * must share a unit among each one's p = n - ceil(t*n) + 1 RAREST
+   * units (|A∩B| >= t*|A∪B| >= t*n, so the intersection cannot hide
+   * entirely in the ceil(t*n)-1 most frequent units of either set); the
+   * candidate join therefore touches only prefixes — the Zipfian head
+   * units sort LAST and fall outside almost every prefix, collapsing the
+   * quadratic blow-up without dropping anything. A length filter
+   * (ceil(t*n1) <= n2 and vice versa) prunes further; candidates are
+   * verified with exact Jaccard over the hashed sets. The epsilon inside
+   * ceil guards FP noise from pushing an exactly-integral t*n up one
+   * (which would shorten the prefix and silently lose pairs).
+   */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, gramSize: Int = 0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs 0 < threshold <= 1, got $threshold")
+    def lb(n: Column): Column = ceil(n * lit(threshold) - lit(1e-9))
+    // hashed sets reused by the df count, the prefix legs and the verify
+    // join — same materialisation rationale as jaccardPairs/minhashLsh
+    val hashed = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
+      else tokenSets(docs, idCol, textCol))
+      .select(col("docId"), col("nTok"),
+        array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
+      .localCheckpoint(true)
+    val occ = hashed.select(col("docId"), col("nTok"), explode(col("hs")).as("h"))
+    val dfTab = occ.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = occ.join(dfTab, "h")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("docId")).orderBy(col("df"), col("h"))))
+      .filter(col("rk") <= col("nTok") - lb(col("nTok")) + lit(1))
+      .select(col("h"), col("docId"), col("nTok"))
+    val cand = prefix.select(col("h"), col("docId").as("id1"), col("nTok").as("n1"))
+      .join(prefix.select(col("h"), col("docId").as("id2"), col("nTok").as("n2")), "h")
+      .filter(col("id1") < col("id2") &&
+        col("n2") >= lb(col("n1")) && col("n1") >= lb(col("n2")))
+      .select("id1", "id2").distinct()
+    cand
+      .join(hashed.select(col("docId").as("id1"), col("hs").as("t1"), col("nTok").as("n1")), "id1")
+      .join(hashed.select(col("docId").as("id2"), col("hs").as("t2"), col("nTok").as("n2")), "id2")
+      .withColumn("shared", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("n1") + col("n2") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -83,6 +83,41 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("prefix-filtered jaccard is output-identical to the exhaustive join") {
+    // token mode on the generated near-dup corpus (same shape as the LSH
+    // recall fixture) + shingle mode on char-edited copies; both compared
+    // pair-for-pair INCLUDING scores against uncapped jaccardPairs
+    val rnd = new scala.util.Random(19)
+    val vocab = Array.tabulate(1500)(i => s"v${i}q${rnd.nextInt(997)}")
+    val base = (0 until 150).map { i =>
+      (i.toLong, Array.fill(10)(vocab(rnd.nextInt(vocab.length))).distinct.mkString(" "))
+    }
+    val near = (0 until 80).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (1000L + i, toks.mkString(" "))
+    }
+    val corpus = (base ++ near).toDF("doc_id", "text")
+    for ((th, gram) <- Seq((0.5, 0), (0.8, 0), (0.5, 5))) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+      val exhaustive = Dedup.jaccardPairs(corpus, "doc_id", "text", th,
+        dfCap = Long.MaxValue, gramSize = gram).collect().map(key).toSet
+      val prefixed = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", th,
+        gramSize = gram).collect().map(key).toSet
+      assert(exhaustive.nonEmpty, s"fixture empty at th=$th gram=$gram")
+      assert(prefixed === exhaustive, s"th=$th gram=$gram: " +
+        s"missing=${(exhaustive -- prefixed).size} extra=${(prefixed -- exhaustive).size}")
+    }
+    // threshold 1.0 edge: prefix collapses to the single rarest unit,
+    // exact-duplicate pairs must survive
+    val dup = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val ones = Dedup.jaccardPairsPrefix(dup, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ones === Set((1L, 2L)))
+  }
+
   test("shingle-minhash-LSH recall >= 0.9 vs exact n-gram jaccard") {
     // the canonical shingle→minhash→band→bucket pipeline: near-dup copies
     // differ by one in-place character edit, so char-5-gram sets stay
