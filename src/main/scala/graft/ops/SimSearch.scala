@@ -195,15 +195,33 @@ object SimSearch {
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, cents: Array[Array[Double]],
-              nProbe: Int = 4, cellCap: Int = 1000000): DataFrame = {
-    val c = capBuckets(
+              nProbe: Int = 4, cellCap: Int = 1000000): DataFrame =
+    ivfTopKFromIndex(queries,
+      ivfInvertedFile(corpus, idCol, vecCol, cents, cellCap),
+      idCol, vecCol, k, cents, nProbe)
+
+  /** The inverted file of a corpus — (cid, cv, cell), cell-capped — the
+    * STATIC side of [[ivfTopKFromIndex]]. Build it ONCE (at 10^12 rows: a
+    * parquet table partitioned by `cell`, same `cents` as the probe side)
+    * instead of re-assigning the corpus per query batch — this is what a
+    * continuously-queried deployment (Streams.annQueries) persists. */
+  def ivfInvertedFile(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Array[Double]],
+                      cellCap: Int = 1000000): DataFrame =
+    capBuckets(
       corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
         .withColumn("cell", nearestCell(col("cv").cast("array<double>"), cents)),
       Seq("cell"), cellCap)
+
+  /** Probe a prebuilt inverted file: queries explode to their nProbe
+    * nearest cells, join only those cells, exact cosine re-ranks. */
+  def ivfTopKFromIndex(queries: DataFrame, invFile: DataFrame, idCol: String,
+                       vecCol: String, k: Int, cents: Array[Array[Double]],
+                       nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cell",
         explode(probeCells(col("qv").cast("array<double>"), cents, nProbe)))
-    q.join(c, Seq("cell"))
+    q.join(invFile, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(

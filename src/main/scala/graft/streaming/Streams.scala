@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.StructType
  *    event stream (late data bounded by the watermark);
  *  - sessionize: custom state via mapGroupsWithState — gap-based session
  *    assembly per user, the canonical stateful-op shape;
- *  - linkDocs / dedupDocs: stream × static-index joins (entity linking,
- *    near-dup detection) via foreachBatch over the verified batch
- *    kernels — each micro-batch is an independent bounded join.
+ *  - linkDocs / dedupDocs / annQueries: stream × static-index joins
+ *    (entity linking, near-dup detection, ANN top-k) via foreachBatch
+ *    over the verified batch kernels — each micro-batch is an
+ *    independent bounded join.
  */
 object Streams {
 
@@ -111,6 +112,28 @@ object Streams {
           .select(col("newId").as("doc_id"), col("docId").as("dup_of"),
             col("jaccard"))
         sink(dups, batchId)
+      }
+      .start()
+
+  /**
+   * Incremental ANN: a STREAM of embedding queries probed against the
+   * STATIC IVF inverted file (SimSearch.ivfInvertedFile — at scale a
+   * table partitioned by cell, built once with the SAME centroids).
+   * Same foreachBatch-over-the-batch-kernel architecture as
+   * [[linkDocs]]/[[dedupDocs]]: each query's top-k is independent, so no
+   * stream state; the probe join touches only each query's nProbe cells,
+   * never the full corpus. `sink(topk, batchId)` receives
+   * (qid, cid, cosine, rk) rows; at-least-once on retry — the sink must
+   * be idempotent per batchId for exactly-once.
+   */
+  def annQueries(queryStream: DataFrame, invFile: DataFrame, k: Int,
+                 cents: Array[Array[Double]], nProbe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+                (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.ops.SimSearch.ivfTopKFromIndex(
+          batch.toDF(), invFile, idCol, vecCol, k, cents, nProbe), batchId)
       }
       .start()
 

@@ -111,6 +111,46 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet === Set((100L, 1L), (102L, 3L)))
   }
 
+  test("incremental ANN vs a static IVF inverted file, across micro-batches") {
+    import graft.ops.SimSearch
+    implicit val sc = spark.sqlContext
+    // clustered corpus (IvfSpec shape); index + centroids built ONCE
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 4f))
+    val corpus = (0 until 64).map { i =>
+      val c = base(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding").cache()
+    val cents = SimSearch.trainCentroids(corpus, "vec_id", "embedding", 8)
+    val invFile = SimSearch.ivfInvertedFile(corpus, "vec_id", "embedding", cents)
+      .persist()
+    // streamed queries: fresh ids so results compare cleanly; expected is
+    // the batch kernel over ALL queries (each query is independent)
+    val queries = (0 until 6).map { i =>
+      (1000L + i, base(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val expected = SimSearch.ivfTopKFromIndex(
+        queries.toDF("vec_id", "embedding"), invFile,
+        "vec_id", "embedding", 2, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(expected.nonEmpty)
+    val in = MemoryStream[(Long, Array[Float])]
+    val got = collection.mutable.Set[(Long, Long, Int)]()
+    val batches = collection.mutable.Set[Long]()
+    val q = Streams.annQueries(in.toDF().toDF("vec_id", "embedding"),
+        invFile, 2, cents, nProbe = 2) { (df, id) =>
+      got ++= df.select("qid", "cid", "rk").as[(Long, Long, Int)].collect()
+      batches += id
+    }
+    in.addData(queries.take(3))
+    q.processAllAvailable()
+    in.addData(queries.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size >= 2) // genuinely incremental
+    assert(got.toSet === expected)
+  }
+
   test("stateful sessionization emits closed sessions") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
