@@ -151,6 +151,7 @@ object Dedup {
     * collides in SOME other band with high probability; the cap trades a
     * bounded recall sliver for a bounded worst case. */
   private[ops] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    if (cap == Int.MaxValue) return df // uncapped: skip the size pass
     val sizes = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= cap).drop("_bsz")

@@ -77,6 +77,7 @@ object SimSearch {
   /** Drop buckets above `cap` members (same rationale as Dedup.capBuckets:
     * a degenerate bucket turns the bucket join quadratic). */
   private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    if (cap == Int.MaxValue) return df // uncapped: skip the size pass
     val sizes = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap).drop("_bsz")
     df.join(sizes, keys)
