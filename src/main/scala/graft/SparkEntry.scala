@@ -750,7 +750,7 @@ object SparkEntry {
     // full n-grams only), applies the df<=200 stop-gram floor pre-join, and
     // keeps n1/n2 as FULL set sizes — exactly the engine's cap semantics.
     "q_neardup_ngram" ->
-      """WITH nrm AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+      """WITH nrm AS (SELECT doc_id, lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS nt
         | FROM documents WHERE doc_id < 500),
         |s AS (SELECT doc_id AS id,
         |  list_distinct(CASE WHEN length(nt) >= 5

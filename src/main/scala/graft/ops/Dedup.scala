@@ -104,11 +104,7 @@ object Dedup {
     def lb(n: Column): Column = ceil(n * lit(threshold) - lit(1e-9))
     // hashed sets reused by the df count, the prefix legs and the verify
     // join — same materialisation rationale as jaccardPairs/minhashLsh
-    val hashed = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
-      else tokenSets(docs, idCol, textCol))
-      .select(col("docId"), col("nTok"),
-        array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
-      .localCheckpoint(true)
+    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(true)
     val occ = hashed.select(col("docId"), col("nTok"), explode(col("hs")).as("h"))
     val dfTab = occ.groupBy("h").agg(count(lit(1)).as("df"))
     val prefix = occ.join(dfTab, "h")
@@ -121,14 +117,7 @@ object Dedup {
       .filter(col("id1") < col("id2") &&
         col("n2") >= lb(col("n1")) && col("n1") >= lb(col("n2")))
       .select("id1", "id2").distinct()
-    cand
-      .join(hashed.select(col("docId").as("id1"), col("hs").as("t1"), col("nTok").as("n1")), "id1")
-      .join(hashed.select(col("docId").as("id2"), col("hs").as("t2"), col("nTok").as("n2")), "id2")
-      .withColumn("shared", size(array_intersect(col("t1"), col("t2"))))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("n1") + col("n2") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    verifyJaccard(cand, hashed, threshold)
   }
 
   /** MinHash signature. Each token is string-hashed ONCE (xxhash64); the
@@ -164,36 +153,38 @@ object Dedup {
    * numHashes = bands × rowsPerBand. S-curve threshold ~ (1/bands)^(1/rows).
    * `bucketCap` bounds the per-bucket join fan-out (see [[capBuckets]]).
    */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                 bucketCap: Int = 10000, gramSize: Int = 0): DataFrame = {
-    val rows = numHashes / bands
-    // unit strings (word tokens, or char n-grams when gramSize > 0 — the
-    // canonical shingle→minhash→band→bucket pipeline) are hashed ONCE per
-    // doc; signatures, buckets and the verify step all work on the 8-byte
-    // hashes — unit text never enters a shuffle (narrow rows at 100 TB)
-    // eager localCheckpoint, NOT persist: hashed is consumed by the
-    // signature pass and twice by the verify join, but a CacheManager
-    // persist outlives the call (sweep-style benches invoke this per
-    // config and would leak cached blocks). Checkpoint blocks are
-    // reclaimed by the ContextCleaner once the returned frame is dropped.
-    val hashed = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
+  /** (docId, nTok, hs): sorted-xxhash64 unit sets — every downstream
+    * MinHash/verify step works on the 8-byte hashes, so unit text never
+    * enters a shuffle (narrow rows at 100 TB). */
+  private def hashedSets(docs: DataFrame, idCol: String, textCol: String,
+                         gramSize: Int): DataFrame =
+    (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
       else tokenSets(docs, idCol, textCol))
       .select(col("docId"), col("nTok"),
         array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
-      .localCheckpoint(true)
+
+  /** Banding kernel shared by [[minhashLsh]] and [[minhashBuckets]]:
+    * signature (numHashes arithmetic permutations of the unit hashes) →
+    * one (band, bucket) row per band. SINGLE definition on purpose —
+    * streaming probes (Streams.dedupDocs) are correct only because index
+    * and probe band hashes come from the same expression. */
+  private def bandedRows(hashed: DataFrame, numHashes: Int,
+                         bands: Int): DataFrame = {
+    val rows = numHashes / bands
     val sig = transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(col("hs"), h => xxhash64(h, i))))
-    val sigs = hashed.select(col("docId"), sig.as("signature"))
     val bandCols = array((0 until bands).map(b =>
       xxhash64(concat_ws("_", slice(col("signature"), b * rows + 1, rows)))): _*)
-    val banded = capBuckets(sigs.select(col("docId"),
-      posexplode(bandCols).as(Seq("band", "bucket"))), Seq("band", "bucket"), bucketCap)
-    val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "bucket"))
-      .filter(col("x.docId") < col("y.docId"))
-      .select(col("x.docId").as("id1"), col("y.docId").as("id2")).distinct()
-    // verify: exact jaccard over the hashed token sets (64-bit collisions
-    // are negligible at any realistic vocabulary)
+    hashed.withColumn("signature", sig)
+      .select(col("docId"), col("nTok"), col("hs"),
+        posexplode(bandCols).as(Seq("band", "bucket")))
+  }
+
+  /** Exact-Jaccard verification of candidate (id1, id2) pairs against the
+    * hashed sets (64-bit collisions are negligible at any realistic
+    * vocabulary) — shared by the LSH and prefix-filter paths. */
+  private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
+                            threshold: Double): DataFrame =
     cand
       .join(hashed.select(col("docId").as("id1"), col("hs").as("t1"), col("nTok").as("n1")), "id1")
       .join(hashed.select(col("docId").as("id2"), col("hs").as("t2"), col("nTok").as("n2")), "id2")
@@ -202,6 +193,24 @@ object Dedup {
         (col("n1") + col("n2") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                 bucketCap: Int = 10000, gramSize: Int = 0): DataFrame = {
+    // eager localCheckpoint, NOT persist: hashed is consumed by the
+    // signature pass and twice by the verify join, but a CacheManager
+    // persist outlives the call (sweep-style benches invoke this per
+    // config and would leak cached blocks). Checkpoint blocks are
+    // reclaimed by the ContextCleaner once the returned frame is dropped.
+    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(true)
+    // the self-join runs on NARROW (docId, band, bucket) rows — hs stays
+    // out of the bucket shuffle
+    val banded = capBuckets(bandedRows(hashed, numHashes, bands)
+      .select("docId", "band", "bucket"), Seq("band", "bucket"), bucketCap)
+    val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "bucket"))
+      .filter(col("x.docId") < col("y.docId"))
+      .select(col("x.docId").as("id1"), col("y.docId").as("id2")).distinct()
+    verifyJaccard(cand, hashed, threshold)
   }
 
   /**
@@ -217,21 +226,9 @@ object Dedup {
    */
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 64, bands: Int = 16,
-                     bucketCap: Int = 10000, gramSize: Int = 0): DataFrame = {
-    val rows = numHashes / bands
-    val hashed = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
-      else tokenSets(docs, idCol, textCol))
-      .select(col("docId"), col("nTok"),
-        array_sort(transform(col("toks"), t => xxhash64(t))).as("hs"))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("hs"), h => xxhash64(h, i))))
-    val withSig = hashed.withColumn("signature", sig)
-    val bandCols = array((0 until bands).map(b =>
-      xxhash64(concat_ws("_", slice(col("signature"), b * rows + 1, rows)))): _*)
-    capBuckets(withSig.select(col("docId"), col("nTok"), col("hs"),
-        posexplode(bandCols).as(Seq("band", "bucket"))),
-      Seq("band", "bucket"), bucketCap)
-  }
+                     bucketCap: Int = 10000, gramSize: Int = 0): DataFrame =
+    capBuckets(bandedRows(hashedSets(docs, idCol, textCol, gramSize),
+      numHashes, bands), Seq("band", "bucket"), bucketCap)
 
   /** 64-bit hash of a token (deterministic, pure Scala kernel). */
   private def tokenHash64(t: String): Long = {

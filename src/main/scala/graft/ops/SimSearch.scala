@@ -199,7 +199,7 @@ object SimSearch {
               nProbe: Int = 4, cellCap: Int = 1000000): DataFrame =
     ivfTopKFromIndex(queries,
       ivfInvertedFile(corpus, idCol, vecCol, cents, cellCap),
-      idCol, vecCol, k, cents, nProbe)
+      idCol, vecCol, k, cents, nProbe, excludeSelf = true)
 
   /** The inverted file of a corpus — (cid, cv, cell), cell-capped — the
     * STATIC side of [[ivfTopKFromIndex]]. Build it ONCE (at 10^12 rows: a
@@ -215,15 +215,20 @@ object SimSearch {
       Seq("cell"), cellCap)
 
   /** Probe a prebuilt inverted file: queries explode to their nProbe
-    * nearest cells, join only those cells, exact cosine re-ranks. */
+    * nearest cells, join only those cells, exact cosine re-ranks.
+    * `excludeSelf` drops cid == qid matches — correct ONLY for
+    * self-search (queries drawn from the corpus, as in [[ivfTopK]]);
+    * external queries (Streams.annQueries) must keep it false, or an id
+    * collision across the two id spaces silently deletes a true
+    * neighbor and shifts every rank below it. */
   def ivfTopKFromIndex(queries: DataFrame, invFile: DataFrame, idCol: String,
                        vecCol: String, k: Int, cents: Array[Array[Double]],
-                       nProbe: Int = 4): DataFrame = {
+                       nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("cell",
         explode(probeCells(col("qv").cast("array<double>"), cents, nProbe)))
     q.join(invFile, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
+      .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))

@@ -23,7 +23,9 @@ object TextAnalysis {
     * codegen (substr over a sequence literal), no UDF; texts shorter
     * than n yield no shingles. */
   def charShinglesCol(text: Column, n: Int): Column = {
-    val s = lower(regexp_replace(text, "\\s+", " "))
+    // explicit whitespace class, NOT \s: Java regex \s matches \x0B but
+    // RE2 (the DuckDB oracle's engine) does not — the mirror must agree
+    val s = lower(regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " "))
     when(length(s) >= n,
         transform(sequence(lit(0), length(s) - n), i => s.substr(i + 1, lit(n))))
       .otherwise(array().cast("array<string>"))

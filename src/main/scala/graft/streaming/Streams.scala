@@ -104,6 +104,11 @@ object Streams {
           .select(col("docId").as("newId"), col("nTok").as("newN"),
             col("hs").as("newHs"), col("band"), col("bucket"))
         val dups = probe.join(staticBuckets, Seq("band", "bucket"))
+          // a replayed/backfilled doc already present in the index would
+          // otherwise report ITSELF as its own duplicate (id, id, 1.0) —
+          // and a downstream "drop doc_id, keep dup_of" dedup would then
+          // delete the only copy
+          .filter(col("newId") =!= col("docId"))
           .dropDuplicates("newId", "docId")
           .withColumn("shared", size(array_intersect(col("newHs"), col("hs"))))
           .withColumn("jaccard", col("shared").cast("double") /

@@ -1,7 +1,10 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Prints the formatted physical plan of one SparkEntry query (after one
-  * execution so AQE final plans are visible), plus per-stage timing. */
+/** Prints the executed physical plan of one SparkEntry query. The action
+  * runs the query's OWN QueryExecution (foreach on its RDD, no driver
+  * materialisation), so the printed AdaptiveSparkPlan is the AQE FINAL
+  * plan — a fresh `.count()` would plan (and show) a different,
+  * un-executed tree. */
 object ExplainOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -16,8 +19,8 @@ object ExplainOne {
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
-    val n = df.count()
-    println(s"COUNT=$n in ${(System.nanoTime()-t0)/1e9}s")
+    df.foreach(_ => ())
+    println(s"EXECUTED in ${(System.nanoTime() - t0) / 1e9}s")
     println(df.queryExecution.executedPlan.toString.take(12000))
     spark.stop()
   }

@@ -104,7 +104,10 @@ class StreamsSpec extends SparkSpec {
     }
     in.addData((100L, nearOf1), (101L, "totally novel content first"))
     q.processAllAvailable()
-    in.addData((102L, nearOf3), (103L, "another novel document entirely"))
+    // batch 2 includes a REPLAY of indexed doc 2 (same id, same text):
+    // it must NOT report itself as its own duplicate
+    in.addData((102L, nearOf3), (103L, "another novel document entirely"),
+      (2L, "completely unrelated text about database systems design"))
     q.processAllAvailable()
     q.stop()
     assert(batches.size >= 2) // genuinely incremental
