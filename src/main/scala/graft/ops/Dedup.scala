@@ -107,6 +107,12 @@ object Dedup {
     val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(true)
     val occ = hashed.select(col("docId"), col("nTok"), explode(col("hs")).as("h"))
     val dfTab = occ.groupBy("h").agg(count(lit(1)).as("df"))
+    // deliberately NOT checkpointed: the a/b candidate-join sides rebuild
+    // the prefix (explode + df join + window) twice, but an eager barrier
+    // here measured WORSE (2.0 -> 2.5 s steady-state on the bench slice —
+    // the rebuild is broadcast-cheap while the barrier serialises the
+    // window); revisit only if a profile shows the doubled window
+    // dominating at a larger input
     val prefix = occ.join(dfTab, "h")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("docId")).orderBy(col("df"), col("h"))))
