@@ -147,6 +147,13 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_copies"))),
 
+    // narrow-shuffle exact dedup: groups on xxhash64(text) (8-byte keys;
+    // document bodies never shuffle). The oracle groups on the RAW text —
+    // a 64-bit collision merging two distinct texts would break the match
+    "q_dedup_hash" -> ((s, dir) =>
+      Dedup.exactByHash(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"))),
+
     // tokenisation + document frequency (the candidate-index build S5)
     "q_token_df" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(
@@ -670,6 +677,12 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    // identical semantics to q_dedup_exact (raw-text grouping): proves
+    // the engine's hash-keyed grouping loses/merges nothing
+    "q_dedup_hash" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
 

@@ -21,11 +21,26 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Exact dedup: keep the lowest id per identical content. */
+  /** Exact dedup: keep the lowest id per identical content. Groups on the
+    * raw text — fine when the output needs the text column; for the
+    * narrow-shuffle variant at corpus scale see [[exactByHash]]. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col(textCol), col("n_copies"))
+
+  /** Exact dedup with a NARROW shuffle: groups on xxhash64(content)
+    * (8 bytes) instead of the text, so at 100 TB the document bodies
+    * never enter the exchange — only hash + id + count cross the wire.
+    * Returns (docId, content_hash, n_copies), lowest id kept per group.
+    * A 64-bit collision (two distinct texts, same hash) would merge two
+    * groups; at any realistic corpus cardinality the probability is
+    * negligible, and the spec pins set-equality with [[exact]]. */
+  def exactByHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("docId"), xxhash64(col(textCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("docId")).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("content_hash"), col("n_copies"))
 
   /** Distinct-token explode with per-doc set size (shared helper). */
   def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =

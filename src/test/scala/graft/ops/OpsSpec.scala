@@ -29,6 +29,17 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hash-keyed exact dedup equals raw-text grouping") {
+    val d = Seq((5L, "same text"), (2L, "same text"), (9L, "same text"),
+      (3L, "other"), (7L, "third text")).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("doc_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byText = key(Dedup.exact(d, "doc_id", "text"))
+    val byHash = key(Dedup.exactByHash(d, "doc_id", "text"))
+    assert(byText === Set((2L, 3L), (3L, 1L), (7L, 1L)))
+    assert(byHash === byText)
+  }
+
   test("char n-gram jaccard catches concatenation dups token sets miss") {
     // shingle golden: normalisation collapses whitespace, full grams only
     val sh = Seq(Tuple1("AB  cd")).toDF("text")
