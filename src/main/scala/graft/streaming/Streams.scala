@@ -88,22 +88,26 @@ object Streams {
    * hashed sets, so precision vs the index corpus is 1.0.
    *
    * `sink(dups, batchId)` receives (doc_id, dup_of, jaccard) rows: the
-   * batch's docs that near-duplicate an indexed doc at >= threshold.
-   * foreachBatch is at-least-once on retry — the sink must be
-   * idempotent per batchId for exactly-once.
+   * batch's docs that near-duplicate an indexed doc at >= threshold,
+   * plus — with `withinBatch` (default on) — pairs WITHIN the batch
+   * itself (a crawl burst delivering N copies of one new page would
+   * otherwise report nothing, since none is indexed yet; the lower id is
+   * kept as `dup_of`). foreachBatch is at-least-once on retry — the sink
+   * must be idempotent per batchId for exactly-once.
    */
   def dedupDocs(docsStream: DataFrame, staticBuckets: DataFrame,
                 threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                gramSize: Int = 0)
+                gramSize: Int = 0, withinBatch: Boolean = true)
                (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ops.Dedup
-        val probe = Dedup.minhashBuckets(batch.toDF(), "doc_id", "text",
+        val docs = batch.toDF()
+        val probe = Dedup.minhashBuckets(docs, "doc_id", "text",
             numHashes, bands, bucketCap = Int.MaxValue, gramSize = gramSize)
           .select(col("docId").as("newId"), col("nTok").as("newN"),
             col("hs").as("newHs"), col("band"), col("bucket"))
-        val dups = probe.join(staticBuckets, Seq("band", "bucket"))
+        val vsIndex = probe.join(staticBuckets, Seq("band", "bucket"))
           // a replayed/backfilled doc already present in the index would
           // otherwise report ITSELF as its own duplicate (id, id, 1.0) —
           // and a downstream "drop doc_id, keep dup_of" dedup would then
@@ -116,6 +120,14 @@ object Streams {
           .filter(col("jaccard") >= threshold)
           .select(col("newId").as("doc_id"), col("docId").as("dup_of"),
             col("jaccard"))
+        val dups =
+          if (!withinBatch) vsIndex
+          else vsIndex.unionByName(
+            // minhashLsh emits id1 < id2; the later doc is the duplicate
+            Dedup.minhashLsh(docs, "doc_id", "text", threshold,
+                numHashes, bands, gramSize = gramSize)
+              .select(col("id2").as("doc_id"), col("id1").as("dup_of"),
+                col("jaccard")))
         sink(dups, batchId)
       }
       .start()

@@ -105,13 +105,17 @@ class StreamsSpec extends SparkSpec {
     in.addData((100L, nearOf1), (101L, "totally novel content first"))
     q.processAllAvailable()
     // batch 2 includes a REPLAY of indexed doc 2 (same id, same text):
-    // it must NOT report itself as its own duplicate
+    // it must NOT report itself as its own duplicate. It also carries a
+    // WITHIN-BATCH dup pair (two copies of a novel page, neither
+    // indexed): the later id must be flagged against the earlier one
     in.addData((102L, nearOf3), (103L, "another novel document entirely"),
-      (2L, "completely unrelated text about database systems design"))
+      (2L, "completely unrelated text about database systems design"),
+      (104L, "a brand new page fetched twice in one burst"),
+      (105L, "a brand new page fetched twice in one burst"))
     q.processAllAvailable()
     q.stop()
     assert(batches.size >= 2) // genuinely incremental
-    assert(got.toSet === Set((100L, 1L), (102L, 3L)))
+    assert(got.toSet === Set((100L, 1L), (102L, 3L), (105L, 104L)))
   }
 
   test("incremental ANN vs a static IVF inverted file, across micro-batches") {
