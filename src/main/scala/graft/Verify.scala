@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Verify-only side effects: (1) aux-dump writes (oracle hash
+    // primitives) run here but never under Bench, so bench rows time the
+    // operator alone; (2) the oracle SQL's aux READ paths key on the
+    // actual verify dir, so verifying any scale stays consistent with
+    // what was just dumped (ADVICE r5 #4).
+    System.setProperty("graft.dump.aux", "1")
+    System.setProperty("graft.verify.sf", new java.io.File(sfDir).getName)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,6 +23,7 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietBenignAccumulatorNoise()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -16,7 +16,7 @@ import java.nio.file.{Files, Paths}
  */
 object ScalingBench {
 
-  private def session(cores: Int): SparkSession = SparkSession.builder()
+  private[bench] def session(cores: Int): SparkSession = SparkSession.builder()
     .master(s"local[$cores]")
     .appName(s"graft-scaling-$cores")
     .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
@@ -30,7 +30,7 @@ object ScalingBench {
     * time ON CPU; executorRunTime includes memory stalls, shuffle fetch
     * waits and spill I/O. cpu/run per core-second quantifies how much of
     * the added parallelism the DRAM wall eats on a one-socket proxy. */
-  private class CpuWallListener extends org.apache.spark.scheduler.SparkListener {
+  private[bench] class CpuWallListener extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     val runMs = new java.util.concurrent.atomic.AtomicLong(0)
     val shufWriteB = new java.util.concurrent.atomic.AtomicLong(0)

@@ -130,6 +130,56 @@ object ScaleGen {
           .as("surfaceForm"))
   }
 
+  /**
+   * LLM-ops document corpus at arbitrary scale: each doc carries 8 head
+   * tokens drawn LOG-UNIFORMLY from a 1000-word vocabulary (Zipf-style
+   * head — word 1 lands in ~2/3 of all docs, the degenerate-frequency
+   * exercise every dfCap/bucketCap/prefix-order mechanism exists for)
+   * plus 32 near-unique tail tokens keyed by the doc's group. Every doc
+   * with id % 10 == 1 is a PLANTED near-dup twin of doc id-1: same group
+   * (identical head + 30 shared tail tokens) with 2 tail tokens replaced
+   * — Jaccard between 30/34 ≈ 0.88 and 38/42 ≈ 0.90, so threshold 0.8
+   * yields exactly the ~nDocs/10 planted pairs, while non-twin pairs
+   * share only head words (J ≈ 0.01). Pure hash expressions: any scale,
+   * bit-reproducible, generated distributed.
+   */
+  def documents(spark: SparkSession, nDocs: Long, seed: Long = 42L): DataFrame = {
+    val twin = pmod(col("id"), lit(10)) === 1
+    val grp = when(twin, col("id") - 1).otherwise(col("id"))
+    def nn(c: org.apache.spark.sql.Column) = pmod(c, lit(1000000000000000000L))
+    // log-uniform head: word = floor(1000^u), u uniform in [0,1)
+    val head = (0 until 8).map { j =>
+      concat(lit("h"), floor(pow(lit(1000.0),
+        pmod(xxhash64(lit(seed), grp, lit(1000 + j)), lit(1000000L))
+          .cast("double") / 1000000.0)).cast("long").cast("string"))
+    }
+    val tail = (0 until 32).map { j =>
+      val base = nn(xxhash64(lit(seed), grp, lit(j)))
+      val perturbed = if (j >= 30)
+        when(twin, nn(xxhash64(lit(seed), col("id"), lit(9000 + j)))).otherwise(base)
+      else base
+      concat(lit("t"), perturbed.cast("string"))
+    }
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (head ++ tail): _*).as("text"))
+  }
+
+  /** LLM-ops embedding corpus: nVecs float vectors clustered around
+    * nCenters hash-derived centers (components in [-1, 1)) with small
+    * per-vector noise — the shape IVF coarse quantisation exploits.
+    * Pure expressions, any scale, bit-reproducible. */
+  def embeddings(spark: SparkSession, nVecs: Long, dim: Int = 64,
+                 nCenters: Int = 128, seed: Long = 42L): DataFrame = {
+    val cent = pmod(xxhash64(lit(seed), col("id"), lit(7)), lit(nCenters.toLong))
+    val vec = transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(xxhash64(lit(seed), cent, j, lit(11)), lit(2000L)).cast("double")
+        / 1000.0 - 1.0) +
+      (pmod(xxhash64(lit(seed), col("id"), j, lit(13)), lit(200L)).cast("double")
+        / 1000.0 - 0.1))
+    spark.range(nVecs).select(col("id").as("vec_id"),
+      vec.cast("array<float>").as("embedding"))
+  }
+
   /** Web-table docs + gold standards. Tables are Zipf-assigned to classes
     * (skewed big classes get most tables — the hot-key exercise). */
   def webCorpus(spark: SparkSession, cfg: Config): (DataFrame, DataFrame, DataFrame, DataFrame) = {

@@ -71,16 +71,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, dfCap: Long = 1000000,
                    gramSize: Int = 0): DataFrame = {
-    // eager localCheckpoint (same convention/rationale as minhashLsh):
+    // LAZY localCheckpoint (same convention/rationale as minhashLsh):
     // the set-building expression feeds FOUR plan legs (a-side, b-side,
     // two df-count legs), and Catalyst additionally substitutes it into
     // the pushed-down size()>0 scan filter — without a materialisation
     // barrier the O(set²) array_distinct runs ~16× per doc (measured
     // 13 s → 4.2 s on the 500-doc 5-gram bench slice; an extra hash
     // repartition before the checkpoint was measured neutral-to-worse,
-    // so the scan partitioning is kept as-is).
+    // so the scan partitioning is kept as-is). eager = false: merely
+    // BUILDING the frame (explain/plan inspection) was triggering full
+    // jobs and pinning block memory (r5 ADVICE #5); the blocks persist at
+    // the first action instead, with the same compute-once effect
+    // (measured: bench walls unchanged within noise).
     val sets = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
-      else tokenSets(docs, idCol, textCol)).localCheckpoint(true)
+      else tokenSets(docs, idCol, textCol)).localCheckpoint(false)
     val toks = sets.select(col("docId"), col("nTok"), explode(col("toks")).as("tok"))
     val kept = toks.join(
       toks.groupBy("tok").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
@@ -118,8 +122,8 @@ object Dedup {
       s"prefix filtering needs 0 < threshold <= 1, got $threshold")
     def lb(n: Column): Column = ceil(n * lit(threshold) - lit(1e-9))
     // hashed sets reused by the df count, the prefix legs and the verify
-    // join — same materialisation rationale as jaccardPairs/minhashLsh
-    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(true)
+    // join — same (lazy) materialisation rationale as jaccardPairs
+    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false)
     val occ = hashed.select(col("docId"), col("nTok"), explode(col("hs")).as("h"))
     val dfTab = occ.groupBy("h").agg(count(lit(1)).as("df"))
     // deliberately NOT checkpointed: the a/b candidate-join sides rebuild
@@ -160,7 +164,7 @@ object Dedup {
     * shingles) otherwise becomes a quadratic task. A true near-dup pair
     * collides in SOME other band with high probability; the cap trades a
     * bounded recall sliver for a bounded worst case. */
-  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     if (cap == Int.MaxValue) return df // uncapped: skip the size pass
     val sizes = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
@@ -218,12 +222,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  threshold: Double, numHashes: Int = 64, bands: Int = 16,
                  bucketCap: Int = 10000, gramSize: Int = 0): DataFrame = {
-    // eager localCheckpoint, NOT persist: hashed is consumed by the
+    // LAZY localCheckpoint, NOT persist: hashed is consumed by the
     // signature pass and twice by the verify join, but a CacheManager
     // persist outlives the call (sweep-style benches invoke this per
     // config and would leak cached blocks). Checkpoint blocks are
-    // reclaimed by the ContextCleaner once the returned frame is dropped.
-    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(true)
+    // reclaimed by the ContextCleaner once the returned frame is dropped;
+    // eager = false defers the job to the first action (r5 ADVICE #5).
+    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false)
     // the self-join runs on NARROW (docId, band, bucket) rows — hs stays
     // out of the bucket shuffle
     val banded = capBuckets(bandedRows(hashed, numHashes, bands)

@@ -4,19 +4,29 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /**
  * Multimodal (image/audio/video) column plumbing for training-data
  * pipelines. Media rides as opaque `binary` columns + typed metadata;
  * decode / feature-extract / resize / frame-sample are per-partition
  * batch kernels.
  *
- * !!! STUB NOTICE !!!
- * The actual codecs (JPEG/PNG/ffmpeg) are NOT available in this
- * container. `decodeStub` below is a clearly-marked DETERMINISTIC FAKE:
- * it derives pseudo-features from a hash of the bytes. The Spark-side
- * contract — schema, partitioning, batch shape, null/corrupt handling —
- * is real and tested; swapping in a real decoder only replaces the
- * innards of the fake.
+ * IMAGE decode is REAL: `javax.imageio.ImageIO` ships in every JDK and
+ * decodes PNG/JPEG/GIF/BMP with zero extra dependencies — bytes ->
+ * BufferedImage -> a GRIDxGRID luma resample -> a CELLSxCELLS block-sum
+ * feature vector (see [[imageFeature]]). Corrupt/undecodable bytes come
+ * back ok=false, never an exception (a 100 TB crawl always contains
+ * garbage rows).
+ *
+ * !!! STUB NOTICE (audio/video only) !!!
+ * Audio/video codecs (ffmpeg) are NOT available in this container.
+ * `decodeStub` below is a clearly-marked DETERMINISTIC FAKE for those
+ * mimes: it derives pseudo-features from a hash of the bytes. The
+ * Spark-side contract — schema, partitioning, batch shape, null/corrupt
+ * handling — is identical to the real image path.
  *
  * Scale notes: media bytes dominate row size, so ops repartition by
  * bucket(media_ref) before any wide transform to spread hot buckets, and
@@ -36,11 +46,62 @@ object Multimodal {
   case class MediaFeature(media_ref: String, mime: String, ok: Boolean,
                           feature: Array[Float])
 
-  /** Deterministic fake decoder: bytes -> 16-dim feature. A real decoder
+  /** Luma resample grid (GRID x GRID samples) and feature layout
+    * (CELLS x CELLS block sums). Each cell sums (GRID/CELLS)^2 = 16 luma
+    * bytes (<= 16*255 = 4080) and divides by 4096 — an exact float (12
+    * significand bits), so the feature survives float->double casts
+    * bit-identically and an external oracle can recompute it in exact
+    * integer arithmetic. */
+  private val Grid = 16
+  private val Cells = 4
+  private val CellDiv = 4096.0f
+
+  /** Real image decode: ImageIO (PNG/JPEG/GIF/BMP). Returns null on
+    * null/corrupt/undecodable bytes — mapped to ok=false downstream. */
+  def decodeImage(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null) return null
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null else imageFeature(img)
+    } catch { case _: Exception => null }
+  }
+
+  /** GRIDxGRID nearest-neighbour luma resample -> CELLSxCELLS block-sum
+    * feature. Luma is the integer ITU weighting (299r + 587g + 114b)/1000
+    * — for grayscale pixels (r=g=b=v) it is exactly v. Sums accumulate in
+    * Int (exact, order-free); one division at the end. */
+  def imageFeature(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    val block = Grid / Cells
+    val sums = new Array[Int](Cells * Cells)
+    var y = 0
+    while (y < Grid) {
+      val sy = (y.toLong * h / Grid).toInt
+      var x = 0
+      while (x < Grid) {
+        val sx = (x.toLong * w / Grid).toInt
+        val rgb = img.getRGB(sx, sy)
+        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+        sums((y / block) * Cells + (x / block)) += luma
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](sums.length)
+    var i = 0
+    while (i < out.length) { out(i) = sums(i) / CellDiv; i += 1 }
+    out
+  }
+
+  /** Deterministic fake decoder for mimes whose codecs are not in this
+    * container (audio/video): bytes -> 16-dim feature. A real decoder
     * replaces ONLY the body marked STUB. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     // STUB: pseudo-features from a rolling hash of the payload — stands in
-    // for image decode + embedding; deterministic for testability.
+    // for audio/video decode + embedding; deterministic for testability.
     if (bytes == null) return null
     var h = 1125899906842597L
     val out = new Array[Float](16)
@@ -54,6 +115,12 @@ object Multimodal {
     }
     out
   }
+
+  /** Mime dispatch: images decode for real, everything else hits the
+    * labeled stub. */
+  def decode(bytes: Array[Byte], mime: String): Array[Float] =
+    if (mime != null && mime.startsWith("image/")) decodeImage(bytes)
+    else decodeStub(bytes)
 
   /**
    * Batched feature extraction: repartition by media_ref bucket (spreads
@@ -69,7 +136,7 @@ object Multimodal {
       .as[(String, Array[Byte], String)]
       .mapPartitions { it =>
         it.map { case (ref, bytes, mime) =>
-          val f = decodeStub(bytes)
+          val f = decode(bytes, mime)
           MediaFeature(ref, mime, f != null, f)
         }
       }
@@ -87,7 +154,7 @@ object Multimodal {
       .select(col("media_ref"), col("frame_idx"), (col("step") * everyMs).as("ts_ms"))
 
   /** Resize metadata op: target box (fit-within, preserve aspect); the pixel
-    * work is the stubbed kernel, the plan/metadata math is real. */
+    * work is the decode kernel, the plan/metadata math is real. */
   def resizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(lit(maxW).cast("double") / col("width"),
       least(lit(maxH).cast("double") / col("height"), lit(1.0)))
@@ -98,17 +165,60 @@ object Multimodal {
         col("target_w"), col("target_h"))
   }
 
+  /** Additive char-code seed of a ref, mod 256 — deliberately trivial so
+    * an external SQL oracle can recompute it per ref. */
+  def refSeed(ref: String): Int = {
+    var s = 0L
+    var i = 0
+    while (i < ref.length) { s += ref.charAt(i).toInt; i += 1 }
+    (s % 256).toInt
+  }
+
+  /** A REAL deterministic 16x16 grayscale PNG for a ref: pixel(x, y) =
+    * (seed + 31x + 17y) mod 256 in all three channels. ImageIO's PNG
+    * writer emits no timestamps, so the bytes are a pure function of the
+    * ref — and the expected post-decode feature is closed-form integer
+    * math an external oracle recomputes without touching PNG at all
+    * (which is exactly what makes the encode->decode->feature round trip
+    * independently checkable). */
+  def syntheticPng(ref: String): Array[Byte] = {
+    val img = new BufferedImage(Grid, Grid, BufferedImage.TYPE_INT_RGB)
+    val seed = refSeed(ref)
+    var y = 0
+    while (y < Grid) {
+      var x = 0
+      while (x < Grid) {
+        val v = (seed + 31 * x + 17 * y) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val syntheticPngUdf = udf((ref: String) => syntheticPng(ref))
+
   /** Deterministic fake media table derived from any string column — used
-    * by tests/bench to exercise the plumbing without real files. */
-  def syntheticMedia(refs: DataFrame, refCol: String): DataFrame =
-    refs.select(col(refCol).as("media_ref"))
-      .withColumn("bytes",
+    * by tests/bench to exercise the plumbing without real files. Image
+    * rows carry REAL PNG bytes ([[syntheticPng]]); video rows carry a stub
+    * payload for the labeled stub decoder. The image/video split keys on
+    * the last char's code parity — SQL-expressible, so oracles can
+    * recompute the mime column. */
+  def syntheticMedia(refs: DataFrame, refCol: String): DataFrame = {
+    val isImage = pmod(ascii(substring(col("media_ref"), -1, 1)), lit(2)) === 0
+    refs.select(col(refCol).cast("string").as("media_ref"))
+      .withColumn("mime", when(isImage, "image/png").otherwise("video/mp4"))
+      .withColumn("bytes", when(isImage, syntheticPngUdf(col("media_ref")))
         // STUB payload: the ref's bytes repeated — deterministic
-        encode(concat_ws("|", col("media_ref"), col("media_ref")), "UTF-8"))
-      .withColumn("mime", when(xxhash64(col("media_ref")) % 2 === 0, "image/png")
-        .otherwise("video/mp4"))
-      .withColumn("width", (pmod(xxhash64(col("media_ref"), lit(1)), lit(1920)) + 16).cast("int"))
-      .withColumn("height", (pmod(xxhash64(col("media_ref"), lit(2)), lit(1080)) + 16).cast("int"))
+        .otherwise(encode(concat_ws("|", col("media_ref"), col("media_ref")), "UTF-8")))
+      .withColumn("width", when(isImage, lit(Grid))
+        .otherwise((pmod(xxhash64(col("media_ref"), lit(1)), lit(1920)) + 16).cast("int")))
+      .withColumn("height", when(isImage, lit(Grid))
+        .otherwise((pmod(xxhash64(col("media_ref"), lit(2)), lit(1080)) + 16).cast("int")))
       .withColumn("duration_ms", when(col("mime") === "video/mp4",
         pmod(xxhash64(col("media_ref"), lit(3)), lit(60000L))).otherwise(lit(null).cast("long")))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,18 @@ object SimSearch {
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
     (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** The hyperplane literals as a table (tab, bit, i, comp) — dumped to
+    * parquet by the verify entry so an external oracle can recompute the
+    * sign buckets, the bucket join and the cosine verify in plain SQL
+    * (the q_minhash_lsh pattern: only the non-SQL primitive is dumped;
+    * everything downstream is independently recomputed). */
+  def hyperplaneTable(spark: SparkSession, tables: Int, nBits: Int,
+                      dim: Int): DataFrame = {
+    import spark.implicits._
+    (for { t <- 0 until tables; b <- 0 until nBits; i <- 0 until dim }
+      yield (t, b, i, planeComponent(t, b, i))).toDF("tab", "bit", "i", "comp")
   }
 
   /** Sign-bit LSH bucket id for one projection table: bits = sign of dot

@@ -60,10 +60,17 @@ object T2KPipeline {
     * measured 22 s of the micro pipeline's 29 s driver-side Catalyst
     * work, and the same multiplicative re-analysis on every corpus.
     * Truncation bounds each subtree's planning to once. Blocks are
-    * ContextCleaner-reclaimed; recompute-on-eviction is lost (fine in a
-    * single JVM; on a cluster these dims are small). */
+    * ContextCleaner-reclaimed.
+    *
+    * LOCAL MASTERS ONLY: checkpointed blocks are NOT recomputable, so on
+    * a real cluster an executor loss (or dynamic-allocation decommission)
+    * would fail the job instead of recomputing the dim. Non-local masters
+    * therefore fall back to persist(): each consumer stage re-analyzes
+    * the dim's (small) plan, but the job survives block loss; durable
+    * truncation on a cluster is the ParquetCheckpointer's job. */
   private def cache(df: DataFrame): DataFrame =
-    df.localCheckpoint(false)
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(false)
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   def run(docs: DataFrame, kb: KbIngest.Ingested, surfaceForms: DataFrame,
           hierarchy: Map[String, String],

@@ -76,7 +76,7 @@ object Streams {
 
   /**
    * Incremental near-duplicate detection: a STREAM of new documents
-   * probed against the STATIC LSH index of an existing corpus
+   * probed against the LSH index of the existing corpus
    * (Dedup.minhashBuckets — at 100 TB a table bucketed by (band,
    * bucket), so each micro-batch probe is a bounded join, never a
    * full-corpus rescan). Same architecture as [[linkDocs]]: new docs
@@ -87,27 +87,65 @@ object Streams {
    * from bucket collisions are verified with exact Jaccard over the
    * hashed sets, so precision vs the index corpus is 1.0.
    *
-   * `sink(dups, batchId)` receives (doc_id, dup_of, jaccard) rows: the
-   * batch's docs that near-duplicate an indexed doc at >= threshold,
-   * plus — with `withinBatch` (default on) — pairs WITHIN the batch
-   * itself (a crawl burst delivering N copies of one new page would
-   * otherwise report nothing, since none is indexed yet; the lower id is
-   * kept as `dup_of`). foreachBatch is at-least-once on retry — the sink
-   * must be idempotent per batchId for exactly-once.
+   * Three legs close the three dup windows a continuous crawl has:
+   *  - vs the SEED index (`staticBuckets`): dups of the pre-existing
+   *    corpus;
+   *  - WITHIN the batch (`withinBatch`, default on): a burst delivering
+   *    N copies of one new page in a single batch (the lower id is kept
+   *    as `dup_of`);
+   *  - CROSS-BATCH (`cumulativeIndexDir`): each batch's banded rows are
+   *    appended to a parquet dir under `batch_id=<id>` (overwritten on
+   *    retry — idempotent per batchId) and every later batch probes
+   *    seed ∪ appended, so a novel doc in batch 1 and its near-copy in
+   *    batch 2 IS reported. Without the dir (None), only the first two
+   *    legs run and that pair is silently missed — fine for a frozen
+   *    reference corpus, wrong for a continuous crawl. At scale the
+   *    appended dir is the same (band, bucket)-bucketed table the seed
+   *    index lives in; per-batch file listing stays bounded because the
+   *    append is one partition directory per batch (compact periodically,
+   *    as any streaming-table sink does).
+   *
+   * `bucketCap` applies to BOTH the probe join and the within-batch leg
+   * (one recall semantics for the whole operator); the default is
+   * uncapped — set it when degenerate buckets (boilerplate shingles) are
+   * expected. `sink(dups, batchId)` receives (doc_id, dup_of, jaccard)
+   * rows, deduplicated across legs (a pair found both within-batch and
+   * via a replayed index row is emitted once). foreachBatch is
+   * at-least-once on retry — the sink must be idempotent per batchId for
+   * exactly-once; the index append already is.
    */
   def dedupDocs(docsStream: DataFrame, staticBuckets: DataFrame,
                 threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                gramSize: Int = 0, withinBatch: Boolean = true)
+                gramSize: Int = 0, withinBatch: Boolean = true,
+                idCol: String = "doc_id", textCol: String = "text",
+                bucketCap: Int = Int.MaxValue,
+                cumulativeIndexDir: Option[String] = None)
                (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ops.Dedup
+        val spark = batch.sparkSession
         val docs = batch.toDF()
-        val probe = Dedup.minhashBuckets(docs, "doc_id", "text",
-            numHashes, bands, bucketCap = Int.MaxValue, gramSize = gramSize)
+        // banded rows of THIS batch: probe side now, index rows afterwards
+        // (one shared kernel — index and probe cannot drift)
+        val batchBuckets = Dedup.minhashBuckets(docs, idCol, textCol,
+          numHashes, bands, bucketCap = Int.MaxValue, gramSize = gramSize)
+        // cumulative index = seed ∪ previously appended batches. The file
+        // listing snapshots at read time, so this batch's own append
+        // (below) never feeds its own probe; a RETRYED batch does see its
+        // failed attempt's rows — the self-match filter and the pair-level
+        // dedup below make that replay-safe.
+        val index = cumulativeIndexDir match {
+          case Some(d) if hasParquet(spark, d) =>
+            staticBuckets.unionByName(
+              spark.read.option("basePath", d).parquet(d)
+                .select("docId", "nTok", "hs", "band", "bucket"))
+          case _ => staticBuckets
+        }
+        val probe = Dedup.capBuckets(batchBuckets, Seq("band", "bucket"), bucketCap)
           .select(col("docId").as("newId"), col("nTok").as("newN"),
             col("hs").as("newHs"), col("band"), col("bucket"))
-        val vsIndex = probe.join(staticBuckets, Seq("band", "bucket"))
+        val vsIndex = probe.join(index, Seq("band", "bucket"))
           // a replayed/backfilled doc already present in the index would
           // otherwise report ITSELF as its own duplicate (id, id, 1.0) —
           // and a downstream "drop doc_id, keep dup_of" dedup would then
@@ -124,13 +162,32 @@ object Streams {
           if (!withinBatch) vsIndex
           else vsIndex.unionByName(
             // minhashLsh emits id1 < id2; the later doc is the duplicate
-            Dedup.minhashLsh(docs, "doc_id", "text", threshold,
-                numHashes, bands, gramSize = gramSize)
+            Dedup.minhashLsh(docs, idCol, textCol, threshold,
+                numHashes, bands, bucketCap = bucketCap, gramSize = gramSize)
               .select(col("id2").as("doc_id"), col("id1").as("dup_of"),
                 col("jaccard")))
+            // one pair can surface on two legs (within-batch AND via a
+            // replayed/appended index row); a batchId-idempotent sink
+            // would still double-count it without this
+            .dropDuplicates("doc_id", "dup_of")
         sink(dups, batchId)
+        // append AFTER the sink's actions: the probe above holds the old
+        // file listing either way, but this keeps failure atomicity —
+        // a batch that dies in the sink leaves no index rows behind
+        cumulativeIndexDir.foreach { d =>
+          batchBuckets.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
+        }
       }
       .start()
+
+  /** True iff `dir` exists and holds at least one non-hidden entry —
+    * guards the first batch's read of an empty cumulative-index dir. */
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+  }
 
   /**
    * Incremental ANN: a STREAM of embedding queries probed against the

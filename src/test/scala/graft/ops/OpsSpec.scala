@@ -227,6 +227,52 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 3, s"ann=$ann exact=$exact")
   }
 
+  test("real image decode: PNG round trip pins the exact block-sum feature") {
+    // known 2x2 image; the 16x16 nearest-neighbour resample tiles each
+    // pixel over an 8x8 block, so each 4x4 feature cell sums 16 copies of
+    // one pixel's luma — closed-form expected values
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def g(v: Int) = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, g(0)); img.setRGB(1, 0, g(255))
+    img.setRGB(0, 1, g(100)); img.setRGB(1, 1, g(200))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.decodeImage(bos.toByteArray)
+    val top = Seq(0f, 0f, 4080 / 4096f, 4080 / 4096f)
+    val bot = Seq(1600 / 4096f, 1600 / 4096f, 3200 / 4096f, 3200 / 4096f)
+    assert(f.toSeq === top ++ top ++ bot ++ bot)
+    // corrupt / non-image / null bytes: null feature, never an exception
+    assert(Multimodal.decodeImage("not a png".getBytes) === null)
+    assert(Multimodal.decodeImage(null) === null)
+  }
+
+  test("synthetic PNG encode->decode->feature matches the closed form") {
+    val ref = "42"
+    val seed = Multimodal.refSeed(ref) // '4' + '2' = 52 + 50
+    assert(seed === 102)
+    val f = Multimodal.decodeImage(Multimodal.syntheticPng(ref))
+    val expected = (0 until 16).map { c =>
+      val (cy, cx) = (c / 4, c % 4)
+      val sum = (for { y <- cy * 4 until cy * 4 + 4; x <- cx * 4 until cx * 4 + 4 }
+        yield (seed + 31 * x + 17 * y) % 256).sum
+      sum / 4096.0f
+    }
+    assert(f.toSeq === expected)
+    // extractFeatures dispatch: image rows decode for real, corrupt image
+    // rows come back ok=false, video rows hit the labeled stub
+    val media = Seq(
+      ("42", Multimodal.syntheticPng("42"), "image/png"),
+      ("bad", "garbage".getBytes, "image/png"),
+      ("77", "payload".getBytes, "video/mp4")
+    ).toDF("media_ref", "bytes", "mime")
+    val out = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_ref -> m).toMap
+    assert(out("42").ok && out("42").feature.toSeq === expected)
+    assert(!out("bad").ok && out("bad").feature === null)
+    assert(out("77").ok && out("77").feature.length === 16)
+  }
+
   test("multimodal plumbing: stub decode, frames, resize") {
     val media = Multimodal.syntheticMedia(docs.filter($"doc_id" <= 4), "doc_id")
     val feats = Multimodal.extractFeatures(media, buckets = 2).collect()

@@ -118,6 +118,60 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet === Set((100L, 1L), (102L, 3L), (105L, 104L)))
   }
 
+  test("cross-batch near-dup via the cumulative index (novel doc in batch 1, copy in batch 2)") {
+    import graft.ops.Dedup
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about database systems design")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBuckets(corpus, "doc_id", "text").persist()
+    val novel = "a never before seen page about spark streaming state"
+    val nearOfNovel = "a never before seen page about spark streaming states"
+
+    // (a) static-only mode: the cross-batch pair is MISSED — pinned so the
+    // semantic gap stays documented behavior, not an accident
+    locally {
+      val in = MemoryStream[(Long, String)]
+      val got = collection.mutable.Set[(Long, Long)]()
+      val q = Streams.dedupDocs(in.toDF().toDF("doc_id", "text"), index, 0.5) {
+        (df, _) => got ++= df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+      }
+      in.addData((200L, novel)); q.processAllAvailable()
+      in.addData((201L, nearOfNovel)); q.processAllAvailable()
+      q.stop()
+      assert(got.isEmpty, "static-only mode is expected to miss cross-batch dups")
+    }
+
+    // (b) cumulative mode: batch 1's banded rows are appended, batch 2
+    // probes seed ∪ appended and reports the pair
+    val dir = java.nio.file.Files.createTempDirectory("graft-cumidx").toString
+    val in = MemoryStream[(Long, String)]
+    val got = collection.mutable.Set[(Long, Long)]()
+    val batches = collection.mutable.Set[Long]()
+    val q = Streams.dedupDocs(in.toDF().toDF("doc_id", "text"), index, 0.5,
+        cumulativeIndexDir = Some(dir)) { (df, id) =>
+      got ++= df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+      batches += id
+    }
+    in.addData((200L, novel),
+      (210L, "the quick brown fox jumps over the lazy dog today"))
+    q.processAllAvailable()
+    // batch 2: near-copy of batch 1's novel doc; a REPLAY of 200 (the
+    // appended index now holds it — must not self-match, and its
+    // within-batch burst twin must not double-emit); a fresh burst pair
+    in.addData((201L, nearOfNovel),
+      (200L, novel),
+      (220L, "fresh burst page fetched twice within one trigger"),
+      (221L, "fresh burst page fetched twice within one trigger"))
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size >= 2)
+    // 210 -> 1 (seed leg, batch 1); 201 -> 200 (cross-batch leg);
+    // 221 -> 220 (within-batch leg); replayed 200 reports nothing new
+    assert(got.toSet === Set((210L, 1L), (201L, 200L), (221L, 220L)))
+  }
+
   test("incremental ANN vs a static IVF inverted file, across micro-batches") {
     import graft.ops.SimSearch
     implicit val sc = spark.sqlContext
