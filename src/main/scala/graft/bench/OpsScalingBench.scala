@@ -51,13 +51,19 @@ object OpsScalingBench {
     val nVecs = args.lift(3).map(_.toLong).getOrElse(1000000L)
     val dataDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_ops_scaling")
 
-    // generate once (seeded, deterministic, distributed)
+    // generate once (seeded, deterministic, distributed). REPARTITION
+    // before write: the generator session's parallelism would otherwise
+    // emit ~16 files, and the operators' kernel-heavy SCAN stage (token
+    // hashing, signatures — all pre-shuffle) would cap at 16 tasks,
+    // starving local[32] and inverting the scaling measurement (observed:
+    // efficiency 0.16 from exactly this). A real corpus at scale has
+    // orders of magnitude more splits than cores.
     locally {
       val gen = ScalingBench.session(16)
       try {
-        ScaleGen.documents(gen, nDocs).write.mode("overwrite")
+        ScaleGen.documents(gen, nDocs).repartition(256).write.mode("overwrite")
           .parquet(s"$dataDir/docs.parquet")
-        ScaleGen.embeddings(gen, nVecs).write.mode("overwrite")
+        ScaleGen.embeddings(gen, nVecs).repartition(256).write.mode("overwrite")
           .parquet(s"$dataDir/embeddings.parquet")
       } finally gen.stop()
     }
@@ -84,7 +90,10 @@ object OpsScalingBench {
     val p = Paths.get("BENCH")
     Files.createDirectories(p)
     val f = p.resolve("BASELINE.md")
-    val results = ops.map { case (name, body) =>
+    // comma-separated op filter for single-op A/B reruns on an unchanged
+    // corpus (same seed -> same data)
+    val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
+    val results = ops.filter(o => only.forall(_.contains(o._1))).map { case (name, body) =>
       timed(nHigh)(body) // warm-up (JIT)
       val high = timed(nHigh)(body)
       val low = timed(nLow)(body)
@@ -108,6 +117,7 @@ object OpsScalingBench {
     }.toMap
     // recall accounting: prefix is exact (all planted pairs); the capped
     // and LSH variants may only lose pairs, never invent them
+    if (Seq("jaccard_prefix", "jaccard_capped", "minhash_lsh").forall(results.contains))
     println(f"""{"metric":"ops_pair_delta","prefix":${results("jaccard_prefix")},""" +
       f""""capped":${results("jaccard_capped")},"lsh":${results("minhash_lsh")},""" +
       f""""capped_minus_prefix":${results("jaccard_capped") - results("jaccard_prefix")},""" +

@@ -145,6 +145,47 @@ object Dedup {
     verifyJaccard(cand, hashed, threshold)
   }
 
+  /** One-pass MinHash signature kernel: sig[i] = min over unit hashes h
+    * of xxhash64(h, i). BIT-IDENTICAL to the Column expression
+    * `transform(sequence(0, n-1), i -> array_min(transform(hs, h ->
+    * xxhash64(h, i))))` (spec-pinned — xxhash64(h: long, i: int) folds as
+    * XXH64.hashInt(i, XXH64.hashLong(h, seed = 42))), but allocation-free
+    * where the higher-order-function tree is CodegenFallback and
+    * materialises `numHashes` temp arrays PER ROW — measured the dominant
+    * DRAM load of minhashLsh at 32 threads (one-socket box, 1M docs:
+    * the HOF version inverted 8→32 scaling before the kernel swap). */
+  private def sigKernel(hs: Seq[Long], numHashes: Int): Array[Long] = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val it = hs.iterator
+    while (it.hasNext) {
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(it.next(), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, base)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** The signature column for a non-empty `hs` array (shared by
+    * [[minhashSignatures]] and [[bandedRows]]). */
+  private def sigCol(hsCol: Column, numHashes: Int): Column = {
+    val f = udf((hs: Seq[Long]) => sigKernel(hs, numHashes))
+    f(hsCol)
+  }
+
+  /** Expression-tree signature (the kernel's semantic definition) — kept
+    * for the parity spec gating [[sigKernel]] bit-equality. */
+  private[ops] def sigExprCol(hsCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hsCol, h => xxhash64(h, i))))
+
+  private[ops] def sigKernelCol(hsCol: Column, numHashes: Int): Column =
+    sigCol(hsCol, numHashes)
+
   /** MinHash signature. Each token is string-hashed ONCE (xxhash64); the
     * `numHashes` permutations derive from that 8-byte value
     * (xxhash64(tokenHash, i)) — ~10× kernel reduction vs re-hashing the
@@ -154,9 +195,7 @@ object Dedup {
     val sets = if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
       else tokenSets(docs, idCol, textCol)
     val hashed = sets.withColumn("hs", transform(col("toks"), t => xxhash64(t)))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("hs"), h => xxhash64(h, i))))
-    hashed.select(col("docId"), sig.as("signature"))
+    hashed.select(col("docId"), sigCol(col("hs"), numHashes).as("signature"))
   }
 
   /** Drop LSH buckets holding more than `cap` members before a bucket
@@ -196,11 +235,9 @@ object Dedup {
   private def bandedRows(hashed: DataFrame, numHashes: Int,
                          bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("hs"), h => xxhash64(h, i))))
     val bandCols = array((0 until bands).map(b =>
       xxhash64(concat_ws("_", slice(col("signature"), b * rows + 1, rows)))): _*)
-    hashed.withColumn("signature", sig)
+    hashed.withColumn("signature", sigCol(col("hs"), numHashes))
       .select(col("docId"), col("nTok"), col("hs"),
         posexplode(bandCols).as(Seq("band", "bucket")))
   }

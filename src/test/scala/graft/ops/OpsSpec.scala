@@ -227,6 +227,23 @@ class OpsSpec extends SparkSpec {
     assert(hits >= 3, s"ann=$ann exact=$exact")
   }
 
+  test("minhash signature kernel is bit-identical to the expression tree") {
+    // the one-pass UDF kernel replaced the CodegenFallback HOF tree for
+    // DRAM reasons; the LSH oracle (q_minhash_lsh) recomputes signatures
+    // from dumped xxhash64 primitives, so any drift would also break the
+    // CORRECTNESS row — this pins it at the unit level with both widths
+    val hashed = Dedup.tokenSets(docs, "doc_id", "text")
+      .withColumn("hs", array_sort(transform(col("toks"), t => xxhash64(t))))
+    for (n <- Seq(16, 64)) {
+      val both = hashed.select(col("docId"),
+        Dedup.sigKernelCol(col("hs"), n).as("k"),
+        Dedup.sigExprCol(col("hs"), n).as("e")).collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)} n=$n"))
+    }
+  }
+
   test("real image decode: PNG round trip pins the exact block-sum feature") {
     // known 2x2 image; the 16x16 nearest-neighbour resample tiles each
     // pixel over an 8x8 block, so each 4x4 feature cell sums 16 copies of
