@@ -605,11 +605,12 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
-    // multimodal plumbing: synthetic media (REAL PNGs on image rows, stub
-    // payloads on video rows) -> mime-dispatched feature extraction. The
-    // mime split and the invariants (every row decodes, 16-dim feature)
-    // are SQL-recomputable, so this row now has an independent oracle;
-    // the image FEATURE VALUES are value-gated by q_image_decode below.
+    // multimodal plumbing: synthetic media (REAL PNGs on image rows, REAL
+    // WAVs on audio rows, stub payloads on video rows) -> mime-dispatched
+    // feature extraction. The mime split and the invariants (every row
+    // decodes, 16-dim feature) are SQL-recomputable, so this row has an
+    // independent oracle; the image/audio FEATURE VALUES are value-gated
+    // by q_image_decode / q_audio_decode below.
     "q_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
@@ -636,6 +637,26 @@ object SparkEntry {
           posexplode(col("feature")).as(Seq("cell_idx", "luma")))
         .select(col("media_ref"), col("cell_idx"),
           col("luma").cast("double").as("luma"))
+    }),
+
+    // REAL audio decode, value-gated end-to-end: deterministic synthetic
+    // WAVs (sample(i) = (((seed + 7i) mod 256) - 128) << 8, seed =
+    // char-code sum of the ref mod 256) are decoded with
+    // javax.sound.sampled and reduced to the 16-cell block-sum amplitude
+    // feature. The DuckDB oracle recomputes the expected feature in exact
+    // integer arithmetic from the ref alone — it never touches WAV bytes
+    // — so the RIFF encode, PCM decode and the resample kernel are all
+    // under independent check. Cell values are k/4096 with k <= 4080,
+    // exact in float AND double.
+    "q_audio_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(
+          t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+        .filter(col("mime") === "audio/wav")
+      Multimodal.extractFeatures(media, buckets = 8).toDF()
+        .select(col("media_ref"),
+          posexplode(col("feature")).as(Seq("cell_idx", "amp")))
+        .select(col("media_ref"), col("cell_idx"),
+          col("amp").cast("double").as("amp"))
     }),
 
     // North-star parity row (BASELINE.json: P/R vs the reference's own
@@ -744,13 +765,15 @@ object SparkEntry {
          | OR (vc.nv = len(tk.toks) AND sc.ns = len(tk.toks))""".stripMargin,
 
     // The mime dispatch and row invariants are SQL-recomputable (the
-    // image/video split keys on last-char-code parity; both the real
-    // image decode and the labeled stub emit 16-dim ok features);
-    // the image feature VALUES are gated by q_image_decode.
+    // image/audio/video split keys on last-char-code mod 3; the real
+    // image/audio decodes and the labeled video stub all emit 16-dim ok
+    // features); the image/audio feature VALUES are gated by
+    // q_image_decode / q_audio_decode.
     "q_multimodal_features" ->
       """SELECT CAST(doc_id AS VARCHAR) AS media_ref,
-        | CASE WHEN ascii(substr(CAST(doc_id AS VARCHAR), length(CAST(doc_id AS VARCHAR)), 1)) % 2 = 0
-        |  THEN 'image/png' ELSE 'video/mp4' END AS mime,
+        | CASE ascii(substr(CAST(doc_id AS VARCHAR), length(CAST(doc_id AS VARCHAR)), 1)) % 3
+        |  WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |  ELSE 'video/mp4' END AS mime,
         | true AS ok, 16 AS feature_dim
         |FROM documents WHERE doc_id < 200""".stripMargin,
 
@@ -765,7 +788,7 @@ object SparkEntry {
         |img AS (SELECT media_ref,
         |  CAST(list_sum(list_transform(range(length(media_ref)),
         |    j -> ascii(substr(media_ref, CAST(j + 1 AS INT), 1)))) % 256 AS INT) AS seed
-        | FROM r WHERE ascii(substr(media_ref, length(media_ref), 1)) % 2 = 0),
+        | FROM r WHERE ascii(substr(media_ref, length(media_ref), 1)) % 3 = 0),
         |f AS (SELECT i.media_ref, CAST(c.c AS INT) AS cell_idx,
         |  sum((i.seed + 31 * ((c.c % 4) * 4 + (k.k % 4))
         |    + 17 * ((c.c // 4) * 4 + (k.k // 4))) % 256) AS s
@@ -773,6 +796,26 @@ object SparkEntry {
         |  (SELECT unnest(range(16)) AS k) k
         | GROUP BY 1, 2)
         |SELECT media_ref, cell_idx, CAST(s AS DOUBLE) / 4096 AS luma FROM f""".stripMargin,
+
+    // Expected post-decode audio features recomputed in exact integer
+    // arithmetic from the ref alone (point k reads WAV sample
+    // floor(k * 400 / 256); its decoded value is (seed + 7 * frame) mod
+    // 256; cell = sum of its 16 points / 4096 — exact in float and
+    // double): the hand-written RIFF encode -> javax.sound.sampled decode
+    // -> block-sum kernel must reproduce them bit-exactly.
+    "q_audio_decode" ->
+      """WITH r AS (SELECT CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+        |  WHERE doc_id < 200),
+        |aud AS (SELECT media_ref,
+        |  CAST(list_sum(list_transform(range(length(media_ref)),
+        |    j -> ascii(substr(media_ref, CAST(j + 1 AS INT), 1)))) % 256 AS INT) AS seed
+        | FROM r WHERE ascii(substr(media_ref, length(media_ref), 1)) % 3 = 1),
+        |f AS (SELECT a.media_ref, CAST(c.c AS INT) AS cell_idx,
+        |  sum((a.seed + 7 * (((c.c * 16 + k.k) * 400) // 256)) % 256) AS s
+        | FROM aud a, (SELECT unnest(range(16)) AS c) c,
+        |  (SELECT unnest(range(16)) AS k) k
+        | GROUP BY 1, 2)
+        |SELECT media_ref, cell_idx, CAST(s AS DOUBLE) / 4096 AS amp FROM f""".stripMargin,
 
     "q_agg" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,

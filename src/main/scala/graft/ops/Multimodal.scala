@@ -17,16 +17,20 @@ import javax.imageio.ImageIO
  * IMAGE decode is REAL: `javax.imageio.ImageIO` ships in every JDK and
  * decodes PNG/JPEG/GIF/BMP with zero extra dependencies — bytes ->
  * BufferedImage -> a GRIDxGRID luma resample -> a CELLSxCELLS block-sum
- * feature vector (see [[imageFeature]]). Corrupt/undecodable bytes come
- * back ok=false, never an exception (a 100 TB crawl always contains
- * garbage rows).
+ * feature vector (see [[imageFeature]]). AUDIO decode is REAL too:
+ * `javax.sound.sampled.AudioSystem` (also in every JDK) decodes
+ * WAV/AIFF/AU PCM — bytes -> 16-bit PCM frames -> a 256-point
+ * nearest-neighbour resample of channel 0 -> a 16-cell block-sum
+ * amplitude feature (see [[audioFeature]]). Corrupt/undecodable bytes
+ * come back ok=false, never an exception (a 100 TB crawl always
+ * contains garbage rows).
  *
- * !!! STUB NOTICE (audio/video only) !!!
- * Audio/video codecs (ffmpeg) are NOT available in this container.
- * `decodeStub` below is a clearly-marked DETERMINISTIC FAKE for those
+ * !!! STUB NOTICE (video only) !!!
+ * Video codecs (ffmpeg) are NOT available in this container.
+ * `decodeStub` below is a clearly-marked DETERMINISTIC FAKE for video
  * mimes: it derives pseudo-features from a hash of the bytes. The
  * Spark-side contract — schema, partitioning, batch shape, null/corrupt
- * handling — is identical to the real image path.
+ * handling — is identical to the real image/audio paths.
  *
  * Scale notes: media bytes dominate row size, so ops repartition by
  * bucket(media_ref) before any wide transform to spread hot buckets, and
@@ -96,8 +100,62 @@ object Multimodal {
     out
   }
 
+  /** Audio resample layout, mirroring the image math: POINTS sample
+    * points read across the clip (nearest neighbour, channel 0), each of
+    * the 16 cells sums 16 points mapped to 0..255 (the high PCM byte
+    * + 128, <= 16*255 = 4080) and divides by 4096 — an exact float, so
+    * features survive float->double casts bit-identically and an
+    * external oracle can recompute them in integer arithmetic. */
+  private val AudioPoints = 256
+  private val AudioCells = 16
+
+  /** Real audio decode: javax.sound.sampled (WAV/AIFF/AU). Any sample
+    * size/endianness/channel count is converted to 16-bit signed PCM
+    * first; feature reads channel 0. Returns null on null/corrupt/
+    * unsupported bytes — mapped to ok=false downstream. */
+  def decodeAudio(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        src.getChannels * 2, src.getSampleRate, false)
+      val pcm =
+        if (src.matches(target)) in
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      audioFeature(pcm.readAllBytes(), pcm.getFormat.getChannels)
+    } catch { case _: Exception => null }
+  }
+
+  /** POINTS-point nearest-neighbour resample of channel 0 -> 16-cell
+    * block-sum feature. `data` is 16-bit signed little-endian PCM. Each
+    * point maps the frame's high byte to 0..255 (hi + 128); sums
+    * accumulate in Int (exact, order-free); one division at the end. */
+  def audioFeature(data: Array[Byte], channels: Int): Array[Float] = {
+    if (data == null || channels <= 0) return null
+    val frameBytes = 2 * channels
+    val frames = data.length / frameBytes
+    if (frames <= 0) return null
+    val block = AudioPoints / AudioCells
+    val sums = new Array[Int](AudioCells)
+    var k = 0
+    while (k < AudioPoints) {
+      val f = (k.toLong * frames / AudioPoints).toInt
+      // high byte of channel 0's little-endian 16-bit sample, biased to 0..255
+      sums(k / block) += data(f * frameBytes + 1) + 128
+      k += 1
+    }
+    val out = new Array[Float](AudioCells)
+    var i = 0
+    while (i < out.length) { out(i) = sums(i) / CellDiv; i += 1 }
+    out
+  }
+
   /** Deterministic fake decoder for mimes whose codecs are not in this
-    * container (audio/video): bytes -> 16-dim feature. A real decoder
+    * container (video): bytes -> 16-dim feature. A real decoder
     * replaces ONLY the body marked STUB. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     // STUB: pseudo-features from a rolling hash of the payload — stands in
@@ -116,10 +174,11 @@ object Multimodal {
     out
   }
 
-  /** Mime dispatch: images decode for real, everything else hits the
-    * labeled stub. */
+  /** Mime dispatch: images and audio decode for real, everything else
+    * (video) hits the labeled stub. */
   def decode(bytes: Array[Byte], mime: String): Array[Float] =
     if (mime != null && mime.startsWith("image/")) decodeImage(bytes)
+    else if (mime != null && mime.startsWith("audio/")) decodeAudio(bytes)
     else decodeStub(bytes)
 
   /**
@@ -199,26 +258,65 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** A REAL deterministic mono PCM16 WAV for a ref: 400 samples at 8 kHz,
+    * sample(i) = (((seed + 7i) mod 256) - 128) << 8 — so the decoded
+    * point value (high byte + 128) is exactly (seed + 7i) mod 256, the
+    * same closed-form family as [[syntheticPng]]. The 44-byte canonical
+    * RIFF header is written by hand: the bytes are a pure function of the
+    * ref, and the expected post-decode feature is integer math an
+    * external oracle recomputes without touching WAV at all. */
+  val WavSamples = 400
+
+  def syntheticWav(ref: String): Array[Byte] = {
+    val sr = 8000
+    val seed = refSeed(ref)
+    val dataLen = WavSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(sr).putInt(sr * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < WavSamples) {
+      bb.putShort(((((seed + 7 * i) % 256) - 128) << 8).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   private val syntheticPngUdf = udf((ref: String) => syntheticPng(ref))
+  private val syntheticWavUdf = udf((ref: String) => syntheticWav(ref))
 
   /** Deterministic fake media table derived from any string column — used
     * by tests/bench to exercise the plumbing without real files. Image
-    * rows carry REAL PNG bytes ([[syntheticPng]]); video rows carry a stub
-    * payload for the labeled stub decoder. The image/video split keys on
-    * the last char's code parity — SQL-expressible, so oracles can
-    * recompute the mime column. */
+    * rows carry REAL PNG bytes ([[syntheticPng]]), audio rows REAL WAV
+    * bytes ([[syntheticWav]]); video rows carry a stub payload for the
+    * labeled stub decoder. The three-way split keys on the last char's
+    * code mod 3 (0=image, 1=audio, 2=video) — SQL-expressible, so oracles
+    * can recompute the mime column. */
   def syntheticMedia(refs: DataFrame, refCol: String): DataFrame = {
-    val isImage = pmod(ascii(substring(col("media_ref"), -1, 1)), lit(2)) === 0
+    val kind = pmod(ascii(substring(col("media_ref"), -1, 1)), lit(3))
+    val isImage = kind === 0
+    val isAudio = kind === 1
     refs.select(col(refCol).cast("string").as("media_ref"))
-      .withColumn("mime", when(isImage, "image/png").otherwise("video/mp4"))
+      .withColumn("mime", when(isImage, "image/png")
+        .when(isAudio, "audio/wav").otherwise("video/mp4"))
       .withColumn("bytes", when(isImage, syntheticPngUdf(col("media_ref")))
+        .when(isAudio, syntheticWavUdf(col("media_ref")))
         // STUB payload: the ref's bytes repeated — deterministic
         .otherwise(encode(concat_ws("|", col("media_ref"), col("media_ref")), "UTF-8")))
       .withColumn("width", when(isImage, lit(Grid))
+        .when(isAudio, lit(null).cast("int"))
         .otherwise((pmod(xxhash64(col("media_ref"), lit(1)), lit(1920)) + 16).cast("int")))
       .withColumn("height", when(isImage, lit(Grid))
+        .when(isAudio, lit(null).cast("int"))
         .otherwise((pmod(xxhash64(col("media_ref"), lit(2)), lit(1080)) + 16).cast("int")))
-      .withColumn("duration_ms", when(col("mime") === "video/mp4",
-        pmod(xxhash64(col("media_ref"), lit(3)), lit(60000L))).otherwise(lit(null).cast("long")))
+      .withColumn("duration_ms",
+        when(col("mime") === "video/mp4",
+          pmod(xxhash64(col("media_ref"), lit(3)), lit(60000L)))
+        .when(isAudio, lit(WavSamples * 1000L / 8000L))
+        .otherwise(lit(null).cast("long")))
   }
 }

@@ -290,6 +290,50 @@ class OpsSpec extends SparkSpec {
     assert(out("77").ok && out("77").feature.length === 16)
   }
 
+  test("audio decode: 4-sample WAV matches closed-form block sums") {
+    // A hand-checkable WAV: 4 samples whose high bytes decode to
+    // 0, 255, 100, 200. The 256-point resample reads frame k*4/256, so
+    // points 0..63 see 0, 64..127 see 255, 128..191 see 100, 192..255 see
+    // 200 — each run of 64 points spans 4 cells of 16.
+    val samples = Seq(0, 255, 100, 200)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(8)
+    samples.foreach(v => bb.putShort(((v - 128) << 8).toShort))
+    val f = Multimodal.decodeAudio(bb.array())
+    val expected = samples.flatMap(v => Seq.fill(4)(16 * v / 4096.0f))
+    assert(f.toSeq === expected)
+    // corrupt / non-audio / null bytes: null feature, never an exception
+    assert(Multimodal.decodeAudio("not a wav".getBytes) === null)
+    assert(Multimodal.decodeAudio(null) === null)
+  }
+
+  test("synthetic WAV encode->decode->feature matches the closed form") {
+    val ref = "42"
+    val seed = Multimodal.refSeed(ref)
+    val f = Multimodal.decodeAudio(Multimodal.syntheticWav(ref))
+    val expected = (0 until 16).map { c =>
+      (0 until 16).map { k =>
+        val frame = (c * 16 + k) * Multimodal.WavSamples / 256
+        (seed + 7 * frame) % 256
+      }.sum / 4096.0f
+    }
+    assert(f.toSeq === expected)
+    // extractFeatures dispatch: audio rows decode for real via the
+    // javax.sound path, corrupt audio rows come back ok=false
+    val media = Seq(
+      ("42", Multimodal.syntheticWav("42"), "audio/wav"),
+      ("bad", "garbage".getBytes, "audio/wav")
+    ).toDF("media_ref", "bytes", "mime")
+    val out = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_ref -> m).toMap
+    assert(out("42").ok && out("42").feature.toSeq === expected)
+    assert(!out("bad").ok && out("bad").feature === null)
+  }
+
   test("multimodal plumbing: stub decode, frames, resize") {
     val media = Multimodal.syntheticMedia(docs.filter($"doc_id" <= 4), "doc_id")
     val feats = Multimodal.extractFeatures(media, buckets = 2).collect()
