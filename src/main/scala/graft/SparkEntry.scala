@@ -181,7 +181,7 @@ object SparkEntry {
     // text quality scoring
     "q_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))
-        .select(col("doc_id"), col("n_tokens"),
+        .select(col("doc_id"), col("n_tokens"), col("n_tokens_bpe"),
           round(col("stopword_ratio"), 6).as("stopword_ratio"),
           round(col("quality_score"), 6).as("quality_score"))),
 
@@ -888,19 +888,21 @@ object SparkEntry {
          | SELECT doc_id, text,
          |  list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks,
          |  CAST(length(text) AS DOUBLE) AS nchar,
-         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS npunct
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS npunct,
+         |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS n_tokens_bpe
          | FROM documents),
          |c AS (
-         | SELECT doc_id, nchar, npunct,
+         | SELECT doc_id, nchar, npunct, n_tokens_bpe,
          |  CAST(len(toks) AS DOUBLE) AS ntok,
          |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this'))) AS DOUBLE) AS nstop
          | FROM b),
          |d AS (
          | SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+         |  CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
          |  CASE WHEN nchar > 0 THEN npunct / nchar ELSE 0.0 END AS punct_ratio,
          |  CASE WHEN ntok > 0 THEN nstop / ntok ELSE 0.0 END AS stopword_ratio,
          |  ntok FROM c)
-         |SELECT doc_id, n_tokens, round(stopword_ratio, 6) AS stopword_ratio,
+         |SELECT doc_id, n_tokens, n_tokens_bpe, round(stopword_ratio, 6) AS stopword_ratio,
          | round(CASE WHEN ntok = 0 THEN 0.0 ELSE
          |   least(ntok / 100.0, 1.0) * 0.5 +
          |   (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25 +

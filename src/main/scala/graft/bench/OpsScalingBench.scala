@@ -8,7 +8,8 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /**
  * Two-parallelism scaling ledger for the LLM-data operators themselves
- * (minhashLsh, jaccardPairsPrefix, capped jaccardPairs, ivfTopK) — the
+ * (minhashLsh in token and shingle mode, jaccardPairsPrefix, capped
+ * jaccardPairs, simhashPairs, ivfTopK) — the
  * T2K pipeline has this evidence via ScalingBench; these operators were
  * previously certified only at sf0.1 (VERDICT r5 Missing #4). Runs each
  * operator on the SAME generated million-row corpus at local[nLow] and
@@ -78,6 +79,12 @@ object OpsScalingBench {
       "minhash_lsh" -> (s => Dedup.minhashLsh(docs(s), "doc_id", "text", 0.8).count()),
       "jaccard_prefix" -> (s => Dedup.jaccardPairsPrefix(docs(s), "doc_id", "text", 0.8).count()),
       "jaccard_capped" -> (s => Dedup.jaccardPairs(docs(s), "doc_id", "text", 0.8, dfCap = 100).count()),
+      "simhash" -> (s => Dedup.simhashPairs(docs(s), "doc_id", "text").count()),
+      // the scalable char-n-gram path at 10^6 docs: shingle-mode
+      // MinHash-LSH (fixed 64-hash signature regardless of shingle count
+      // — the exhaustive q_neardup_ngram oracle covers small-scale
+      // exactness; this row covers behavior at scale)
+      "minhash_shingle" -> (s => Dedup.minhashLsh(docs(s), "doc_id", "text", 0.8, gramSize = 5).count()),
       "ivf_topk" -> { s =>
         // quantiser trained on a deterministic sample (real IVF practice);
         // probes run over the full corpus inverted file

@@ -33,6 +33,14 @@ object TextAnalysis {
 
   /** Per-document token count / char stats / punctuation + stopword ratios
     * and a composite quality score in [0,1]. */
+  /** GPT-2-style pretokeniser: contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs (whitespace itself never counts). ASCII
+    * classes + non-capturing groups only — valid and equivalent under
+    * both java.util.regex and RE2, so an external oracle can recount with
+    * the same literal pattern. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     val toks = tokensCol(text)
@@ -43,6 +51,8 @@ object TextAnalysis {
     val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
     docs
       .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_tokens_bpe",
+        size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long"))
       .withColumn("avg_token_len",
         when(nTok > 0, (nChar - (nTok - 1)) / nTok).otherwise(0.0))
       .withColumn("punct_ratio", when(nChar > 0, nPunct / nChar).otherwise(0.0))

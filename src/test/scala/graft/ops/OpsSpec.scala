@@ -187,6 +187,14 @@ class OpsSpec extends SparkSpec {
     val q = TextAnalysis.quality(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
     assert(q(1L) === 9L && q(6L) === 0L)
+    // BPE-ish pretokeniser: contractions split off, punctuation runs and
+    // digit runs count, whitespace never does
+    val bpe = TextAnalysis.quality(Seq(
+        (1L, "don't stop, it's 42 meters-long!"), (2L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens_bpe")).toMap
+    // don | 't | _stop | , | _it | 's | _42 | _meters | - | long | !
+    assert(bpe(1L) === 11L)
+    assert(bpe(2L) === 0L)
     val langs = TextAnalysis.langId(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(langs(1L) === "en")
