@@ -713,6 +713,15 @@ object SparkEntry {
     // literal table (the q_minhash_lsh pattern): DuckDB rebuilds the
     // planted vectors, the per-(vec, table, bit) projections, the sign
     // buckets, the bucket-capped pair join and the exact cosine verify.
+    // Honest caveat on cross-engine float folds: the projection and
+    // cosine sums are recomputed by DuckDB's row aggregate, whose
+    // combine order can differ from the engine's i-ascending fold by an
+    // ulp. The gate's discontinuities (sign of pr, cosine >= 0.85) sit
+    // on continuous-valued sums, so a flip needs a sum within ~1e-15 of
+    // the boundary — probability ~0 on this data, and a hit would
+    // surface as a loud hash mismatch, never silent corruption. The
+    // integer-primitive oracles (q_minhash_lsh etc.) don't carry this
+    // caveat; embedding math is inherently FP.
     "q_embed_lsh_neardup" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings WHERE vec_id < 200),

@@ -59,7 +59,14 @@ object OpsScalingBench {
     // starving local[32] and inverting the scaling measurement (observed:
     // efficiency 0.16 from exactly this). A real corpus at scale has
     // orders of magnitude more splits than cores.
-    locally {
+    // the corpus is seed-deterministic, so a marker recording (nDocs,
+    // nVecs) makes SPARK_GRAFT_OPS-filtered single-op A/B reruns skip
+    // the multi-minute regeneration entirely
+    val marker = Paths.get(dataDir, "gen_meta.txt")
+    val wanted = s"$nDocs,$nVecs"
+    val haveCorpus = Files.exists(marker) &&
+      Files.readString(marker).trim == wanted
+    if (!haveCorpus) {
       val gen = ScalingBench.session(16)
       try {
         ScaleGen.documents(gen, nDocs).repartition(256).write.mode("overwrite")
@@ -67,6 +74,7 @@ object OpsScalingBench {
         ScaleGen.embeddings(gen, nVecs).repartition(256).write.mode("overwrite")
           .parquet(s"$dataDir/embeddings.parquet")
       } finally gen.stop()
+      Files.writeString(marker, wanted)
     }
 
     def docs(s: SparkSession) = s.read.parquet(s"$dataDir/docs.parquet")

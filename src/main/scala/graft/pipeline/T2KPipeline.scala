@@ -41,7 +41,18 @@ case class T2KConfig(
   * emission-parity mode and per-pair accounting. */
 case class T2KResult(instanceCorrs: DataFrame, schemaCorrs: DataFrame,
                      classCorrs: DataFrame, triples: DataFrame,
-                     schemaCombined: DataFrame)
+                     schemaCombined: DataFrame,
+                     cached: Seq[DataFrame] = Nil) {
+  /** Unpersist the dims run() pinned. Only the non-local persist()
+    * fallback registers frames here (CacheManager entries outlive the
+    * call — a sweep-style caller invoking run() per corpus would
+    * accumulate them for the life of the app otherwise); local-master
+    * checkpoint blocks are ContextCleaner-reclaimed and register
+    * nothing. Call once the result frames are written/collected. */
+  def release(): Unit = cached.foreach { df =>
+    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+  }
+}
 
 object T2KPipeline {
 
@@ -68,9 +79,14 @@ object T2KPipeline {
     * therefore fall back to persist(): each consumer stage re-analyzes
     * the dim's (small) plan, but the job survives block loss; durable
     * truncation on a cluster is the ParquetCheckpointer's job. */
-  private def cache(df: DataFrame): DataFrame =
+  private def cacheInto(pinned: collection.mutable.Buffer[DataFrame])
+                       (df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(false)
-    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += p
+      p
+    }
 
   def run(docs: DataFrame, kb: KbIngest.Ingested, surfaceForms: DataFrame,
           hierarchy: Map[String, String],
@@ -81,6 +97,8 @@ object T2KPipeline {
       System.err.println(f"[deftime] $l ${(System.nanoTime() - _t) / 1e9}%.2f s")
       _t = System.nanoTime()
     }
+    val pinned = collection.mutable.ArrayBuffer[DataFrame]()
+    val cache = cacheInto(pinned) _
 
     // --- decode + dims (S1) ---------------------------------------------
     val cells = ckpt("cells", SpanCodec.cells(docs))
@@ -219,6 +237,6 @@ object T2KPipeline {
       instF, schemaF, cells, kbCells, kb.props, webCols))
 
     mark("triples_def")
-    T2KResult(instF, schemaF, classCorrs, triples, schemaCorrs)
+    T2KResult(instF, schemaF, classCorrs, triples, schemaCorrs, pinned.toSeq)
   }
 }

@@ -133,12 +133,18 @@ object Streams {
         // cumulative index = seed ∪ previously appended batches. The file
         // listing snapshots at read time, so this batch's own append
         // (below) never feeds its own probe; a RETRYED batch does see its
-        // failed attempt's rows — the self-match filter and the pair-level
-        // dedup below make that replay-safe.
+        // failed attempt's rows — the self-match filter, the replay
+        // orientation canonicalisation and the pair-level dedup below
+        // make that replay-safe.
         val index = cumulativeIndexDir match {
           case Some(d) if hasParquet(spark, d) =>
+            // schema given EXPLICITLY (same kernel -> same schema as the
+            // batch's own banded rows): a batch_id dir holding no data
+            // files (empty batch, or a crash mid-first-append) must read
+            // as empty, not wedge every restart on schema inference
             staticBuckets.unionByName(
-              spark.read.option("basePath", d).parquet(d)
+              spark.read.option("basePath", d)
+                .schema(batchBuckets.schema).parquet(d)
                 .select("docId", "nTok", "hs", "band", "bucket"))
           case _ => staticBuckets
         }
@@ -158,6 +164,22 @@ object Streams {
           .filter(col("jaccard") >= threshold)
           .select(col("newId").as("doc_id"), col("docId").as("dup_of"),
             col("jaccard"))
+          // REPLAY canonicalisation: on a retried batch the failed
+          // attempt's append is visible, so an intra-batch pair (A, B)
+          // comes back from the index in BOTH orientations — and a
+          // downstream "drop doc_id, keep dup_of" dedup would then
+          // delete both copies. When dup_of is a member of THIS batch:
+          // withinBatch=true keeps only the doc_id > dup_of orientation
+          // (the within-batch leg's convention, so the cross-leg dedup
+          // collapses them); withinBatch=false drops the pair entirely
+          // (the first attempt reported no intra-batch pairs — replay
+          // must not either).
+          .join(batchBuckets.select(col("docId").as("dup_of"))
+              .distinct().withColumn("dupInBatch", lit(true)),
+            Seq("dup_of"), "left")
+          .filter(col("dupInBatch").isNull ||
+            (if (withinBatch) col("doc_id") > col("dup_of") else lit(false)))
+          .drop("dupInBatch")
         val dups =
           if (!withinBatch) vsIndex
           else vsIndex.unionByName(

@@ -9,13 +9,32 @@ object Logs {
    * ContextCleaner already reclaimed can report task-end accumulator
    * updates for GC'd accumulators — harmless, but logged at ERROR with a
    * full stack, which buries real failures in bench/verify output
-   * (VERDICT r5 Wrong #3). Scoped to the ONE logger that emits them;
-   * genuine scheduler failures still surface as driver exceptions (jobs
-   * fail loudly regardless of log level).
+   * (VERDICT r5 Wrong #3). The filter is MESSAGE-scoped (a regex DENY on
+   * "Failed to update accumulator" attached to the DAGScheduler logger
+   * only), so genuine scheduler diagnostics — job aborts, stage
+   * failures, fetch-failure chatter — still print at their normal
+   * levels.
    */
   def quietBenignAccumulatorNoise(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
-    catch { case _: Throwable => () } // log4j-core absent: keep defaults
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      val lc = conf.getLoggerConfig(name) match {
+        case exact if exact.getName == name => exact
+        case parent =>
+          val nl = new LoggerConfig(name, parent.getLevel, true)
+          conf.addLogger(name, nl)
+          nl
+      }
+      lc.addFilter(RegexFilter.createFilter(
+        "(?s).*Failed to update accumulator.*", null, java.lang.Boolean.FALSE,
+        Result.DENY, Result.NEUTRAL))
+      ctx.updateLoggers()
+    } catch { case _: Throwable => () } // log4j-core absent: keep defaults
 }

@@ -59,6 +59,15 @@ class PipelineSpec extends SparkSpec {
     assert(best.head._2 === 0.999)
   }
 
+  test("release() is a safe no-op on local masters (no pinned persists)") {
+    // localCheckpoint blocks register nothing; the persist() fallback is
+    // cluster-only, so `cached` must stay empty here and release() must
+    // not disturb the result frames
+    assert(result.cached.isEmpty)
+    result.release()
+    assert(result.classCorrs.count() > 0)
+  }
+
   test("class decision assigns the right KB class per table") {
     val gold = MicroCorpus.gsClass.toDF("tableName", "className")
     val prf = Evaluator.evaluate(

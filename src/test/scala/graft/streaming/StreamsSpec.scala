@@ -172,6 +172,62 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet === Set((210L, 1L), (201L, 200L), (221L, 220L)))
   }
 
+  test("replayed batch with cumulative index emits each intra-batch pair once, canonically oriented") {
+    import graft.ops.Dedup
+    implicit val sc = spark.sqlContext
+    val index = Dedup.minhashBuckets(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text"), "doc_id", "text").persist()
+    val burst = "a burst page fetched twice inside the failed attempt"
+    val batch = Seq((220L, burst), (221L, burst))
+    // simulate a foreachBatch RETRY: the failed attempt already appended
+    // this batch's banded rows before dying, so on replay BOTH burst docs
+    // are visible in the cumulative index and the probe finds the pair in
+    // both orientations — the canonicalisation must emit exactly one row,
+    // oriented like the within-batch leg (doc_id > dup_of)
+    def replayRun(withinBatch: Boolean): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+      Dedup.minhashBuckets(batch.toDF("doc_id", "text"), "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/batch_id=0")
+      val in = MemoryStream[(Long, String)]
+      val got = collection.mutable.ArrayBuffer[(Long, Long)]()
+      val q = Streams.dedupDocs(in.toDF().toDF("doc_id", "text"), index, 0.5,
+          withinBatch = withinBatch, cumulativeIndexDir = Some(dir)) { (df, _) =>
+        got ++= df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+      }
+      in.addData(batch: _*); q.processAllAvailable(); q.stop()
+      got.toSeq
+    }
+    assert(replayRun(withinBatch = true) === Seq((221L, 220L)))
+    // withinBatch=false: the first attempt reported no intra-batch pairs,
+    // so its replay must not either (not even via the appended rows)
+    assert(replayRun(withinBatch = false) === Seq.empty)
+  }
+
+  test("a data-less batch_id append does not wedge the cumulative-index read") {
+    import graft.ops.Dedup
+    implicit val sc = spark.sqlContext
+    val index = Dedup.minhashBuckets(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text"), "doc_id", "text").persist()
+    // a crash mid-first-append (or an all-empty-docs batch) leaves a
+    // batch_id dir with no data files — the schema-explicit read must
+    // treat it as empty, not kill every subsequent batch on inference
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyidx")
+    java.nio.file.Files.createDirectory(dir.resolve("batch_id=0"))
+    java.nio.file.Files.createFile(dir.resolve("batch_id=0").resolve("_SUCCESS"))
+    val in = MemoryStream[(Long, String)]
+    val got = collection.mutable.Set[(Long, Long)]()
+    val q = Streams.dedupDocs(in.toDF().toDF("doc_id", "text"), index, 0.5,
+        cumulativeIndexDir = Some(dir.toString)) { (df, _) =>
+      got ++= df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+    }
+    in.addData((300L, "the quick brown fox jumps over the lazy dog today"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set((300L, 1L)))
+  }
+
   test("incremental ANN vs a static IVF inverted file, across micro-batches") {
     import graft.ops.SimSearch
     implicit val sc = spark.sqlContext
