@@ -171,6 +171,18 @@ object SparkEntry {
       Dedup.exactByHash(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_copies"))),
 
+    // benchmark decontamination (GPT-3/PaLM 13-gram rule): documents
+    // doc_id < 400 are the "training" side, >= 400 the "benchmark";
+    // the engine joins on xxhash64 gram hashes, the oracle rebuilds the
+    // gram STRINGS in SQL — a hash collision would fail the gate
+    "q_decontaminate" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      Dedup.contaminated(all.filter(col("doc_id") < 400), "doc_id", "text",
+          all.filter(col("doc_id") >= 400), "doc_id", "text", n = 13)
+        .select(col("docId").as("doc_id"), col("n_contaminated_grams"),
+          col("n_bench_docs"))
+    }),
+
     // tokenisation + document frequency (the candidate-index build S5)
     "q_token_df" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(
@@ -886,6 +898,24 @@ object SparkEntry {
     "q_dedup_hash" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // gram STRINGS rebuilt in SQL (the engine joined 64-bit hashes):
+    // 1-based inclusive list slices, i in [1, len - 13 + 1]
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |dg AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 12 AS INT)], ' '))) AS gram
+        |  FROM tok WHERE doc_id < 400)),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 12 AS INT)], ' '))) AS gram
+        |  FROM tok WHERE doc_id >= 400))
+        |SELECT dg.doc_id, count(DISTINCT dg.gram) AS n_contaminated_grams,
+        | count(DISTINCT bg.bench_id) AS n_bench_docs
+        |FROM dg JOIN bg USING (gram) GROUP BY 1""".stripMargin,
 
     "q_token_df" ->
       s"""SELECT token, count(*) AS df FROM (

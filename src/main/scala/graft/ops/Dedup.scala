@@ -116,6 +116,46 @@ object Dedup {
    * ceil guards FP noise from pushing an exactly-integral t*n up one
    * (which would shorten the prefix and silently lose pairs).
    */
+  /** One row per distinct word n-gram of the ORDERED token sequence:
+    * (docId, gram) with gram = xxhash64 of the space-joined n tokens —
+    * 8-byte keys, so the contamination join below never shuffles text. */
+  private def wordGramHashes(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("docId"),
+        TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("docId"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))))
+        .as("gram"))
+
+  /**
+   * Benchmark decontamination: flag training documents sharing any word
+   * n-gram with an evaluation/benchmark set (the GPT-3/PaLM-style
+   * n = 13 overlap rule). Returns one row per CONTAMINATED training doc:
+   * (docId, n_contaminated_grams, n_bench_docs) — distinct shared grams
+   * and distinct benchmark documents hit.
+   *
+   * 100 TB shape: both sides reduce to (8-byte gram hash, id) rows
+   * before the join — document text never enters the exchange. The
+   * benchmark side is a fixed eval suite (thousands of docs, ~10⁶
+   * grams), so AQE broadcasts it and the training side's gram explode
+   * stays map-side; per-doc `array_distinct` bounds the explode at
+   * |tokens| rows. A 64-bit gram-hash collision could flag a clean doc;
+   * the DuckDB oracle joins on the gram STRINGS, so any collision at
+   * verify scale fails the gate (same convention as [[exactByHash]]).
+   */
+  def contaminated(docs: DataFrame, idCol: String, textCol: String,
+                   bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                   n: Int = 13): DataFrame =
+    wordGramHashes(docs, idCol, textCol, n)
+      .join(wordGramHashes(bench, benchIdCol, benchTextCol, n)
+          .select(col("gram"), col("docId").as("benchId")).distinct(),
+        Seq("gram"))
+      .groupBy(col("docId"))
+      .agg(countDistinct(col("gram")).as("n_contaminated_grams"),
+        countDistinct(col("benchId")).as("n_bench_docs"))
+
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, gramSize: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,

@@ -183,6 +183,26 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("benchmark decontamination: 13-gram overlap flags, 12-gram does not") {
+    // a distinctive 13-token benchmark sentence
+    val bench13 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
+    val bench = Seq((900L, s"eval question says $bench13 end of prompt"),
+      (901L, s"second eval item repeats $bench13 too")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the full 13-gram (plus noise around it) -> contaminated,
+      // and it hits BOTH benchmark docs
+      (1L, s"some crawl page where $bench13 appears verbatim"),
+      // only the first 12 of the 13 tokens -> clean at n = 13
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima zulu"),
+      (3L, "entirely unrelated training document about databases")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminated(train, "doc_id", "text", bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L)._1 === 1L) // exactly the one shared 13-gram
+    assert(out(1L)._2 === 2L) // present in both benchmark docs
+  }
+
   test("quality + langid + fingerprint") {
     val q = TextAnalysis.quality(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
