@@ -202,6 +202,16 @@ object SparkEntry {
       TextAnalysis.langId(t(s, dir, "documents"))
         .select(col("doc_id"), col("pred_lang"))),
 
+    // Gopher-style repetition metrics (the engine groups 64-bit gram
+    // hashes; the oracle recounts the gram STRINGS — a collision fails
+    // the gate)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"))
+        .select(col("doc_id") +:
+          Seq("top_2gram_char_frac", "top_3gram_char_frac",
+            "top_4gram_char_frac", "dup_5gram_char_frac",
+            "dup_10gram_char_frac").map(c => round(col(c), 6).as(c)): _*)),
+
     // token-set Jaccard near-dup pairs (dedup family + B1 join shape).
     // Bounded to the first 5000 parts: the part-name vocabulary is tiny,
     // so the token self-join is inherently quadratic in corpus density —
@@ -898,6 +908,46 @@ object SparkEntry {
     "q_dedup_hash" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // Gram strings recounted in SQL; top = max over grams of
+    // count x chars (no tie-break needed), dup = mass of grams with
+    // count >= 2; both over the normalised token-joined length, capped
+    // at 1.0. Docs shorter than n score 0.
+    "q_repetition" ->
+      """WITH t0 AS (SELECT doc_id,
+        |  list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |tok AS (SELECT doc_id, toks,
+        |  CAST(length(array_to_string(toks, ' ')) AS DOUBLE) AS total_len FROM t0),
+        |g2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks)), i -> array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))) AS gram FROM tok) GROUP BY 1, 2),
+        |g3 AS (SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS gram FROM tok) GROUP BY 1, 2),
+        |g4 AS (SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks) - 2), i -> array_to_string(toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' '))) AS gram FROM tok) GROUP BY 1, 2),
+        |g5 AS (SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) AS gram FROM tok) GROUP BY 1, 2),
+        |g10 AS (SELECT doc_id, gram, count(*) AS cnt FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(toks) - 8), i -> array_to_string(toks[CAST(i AS INT):CAST(i + 9 AS INT)], ' '))) AS gram FROM tok) GROUP BY 1, 2),
+        |t2 AS (SELECT g.doc_id, least(max(g.cnt * length(g.gram)) / any_value(k.total_len), 1.0) AS v
+        | FROM g2 g JOIN tok k USING (doc_id) GROUP BY 1),
+        |t3 AS (SELECT g.doc_id, least(max(g.cnt * length(g.gram)) / any_value(k.total_len), 1.0) AS v
+        | FROM g3 g JOIN tok k USING (doc_id) GROUP BY 1),
+        |t4 AS (SELECT g.doc_id, least(max(g.cnt * length(g.gram)) / any_value(k.total_len), 1.0) AS v
+        | FROM g4 g JOIN tok k USING (doc_id) GROUP BY 1),
+        |d5 AS (SELECT g.doc_id, least(sum(g.cnt * length(g.gram)) / any_value(k.total_len), 1.0) AS v
+        | FROM g5 g JOIN tok k USING (doc_id) WHERE g.cnt >= 2 GROUP BY 1),
+        |d10 AS (SELECT g.doc_id, least(sum(g.cnt * length(g.gram)) / any_value(k.total_len), 1.0) AS v
+        | FROM g10 g JOIN tok k USING (doc_id) WHERE g.cnt >= 2 GROUP BY 1)
+        |SELECT k.doc_id,
+        | round(coalesce(t2.v, 0.0), 6) AS top_2gram_char_frac,
+        | round(coalesce(t3.v, 0.0), 6) AS top_3gram_char_frac,
+        | round(coalesce(t4.v, 0.0), 6) AS top_4gram_char_frac,
+        | round(coalesce(d5.v, 0.0), 6) AS dup_5gram_char_frac,
+        | round(coalesce(d10.v, 0.0), 6) AS dup_10gram_char_frac
+        |FROM tok k LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        | LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        | LEFT JOIN d10 USING (doc_id)""".stripMargin,
 
     // gram STRINGS rebuilt in SQL (the engine joined 64-bit hashes):
     // 1-based inclusive list slices, i in [1, len - 13 + 1]

@@ -87,6 +87,70 @@ object TextAnalysis {
     val fp = aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
     docs.withColumn("fingerprint", fp)
   }
+
+  /**
+   * Gopher/MassiveText-style repetition metrics over the tokenised text
+   * (Rae et al. 2021 §A1.1, as commonly reimplemented): per document,
+   *
+   *  - `top_{n}gram_char_frac` (n in `topNs`): the largest character
+   *    mass any single word n-gram accounts for — max over grams of
+   *    count x gramCharLen, divided by the normalised text length
+   *    (token chars + single separating spaces), capped at 1.0. Defined
+   *    as the MAX of the product, so no most-frequent-gram tie-break is
+   *    needed and the value is order-free.
+   *  - `dup_{n}gram_char_frac` (n in `dupNs`): character mass of grams
+   *    occurring 2+ times — sum of count x gramCharLen over duplicated
+   *    grams / normalised length, capped at 1.0 (overlapping
+   *    occurrences can overshoot; the standard approximation of the
+   *    char-span-union definition).
+   *
+   * Documents with fewer than n tokens score 0.0 for that n.
+   *
+   * 100 TB shape: one explode + (docId, gramHash) aggregation per n —
+   * the gram STRING exists only map-side inside the expression; the
+   * exchange carries (docId, 8-byte hash, len, count). A 64-bit
+   * collision merges two gram groups; the DuckDB oracle counts the gram
+   * strings themselves, so a collision at verify scale fails the gate.
+   */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 topNs: Seq[Int] = Seq(2, 3, 4),
+                 dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val base = docs.select(col(idCol).as("docId"),
+        tokensCol(col(textCol)).as("toks"))
+      .withColumn("totalLen",
+        length(concat_ws(" ", col("toks"))).cast("double"))
+    def gramCounts(n: Int) = {
+      val g = concat_ws(" ", slice(col("toks"), col("i") + lit(1), lit(n)))
+      base.filter(size(col("toks")) >= n)
+        .select(col("docId"), col("totalLen"),
+          explode(sequence(lit(0), size(col("toks")) - n)).as("i"),
+          col("toks"))
+        .select(col("docId"), col("totalLen"),
+          xxhash64(g).as("gh"), length(g).as("glen"))
+        .groupBy(col("docId"), col("gh"))
+        .agg(count(lit(1)).as("cnt"), first(col("glen")).as("glen"),
+          first(col("totalLen")).as("totalLen"))
+    }
+    val metrics: Seq[DataFrame] =
+      topNs.map { n =>
+        gramCounts(n).groupBy(col("docId"))
+          .agg(least(max(col("cnt") * col("glen")) / first(col("totalLen")),
+            lit(1.0)).as(s"top_${n}gram_char_frac"))
+      } ++ dupNs.map { n =>
+        gramCounts(n).filter(col("cnt") >= 2).groupBy(col("docId"))
+          .agg(least(sum(col("cnt") * col("glen")) / first(col("totalLen")),
+            lit(1.0)).as(s"dup_${n}gram_char_frac"))
+      }
+    val out = metrics.foldLeft(base.select(col("docId"))) {
+      (acc, m) => acc.join(m, Seq("docId"), "left")
+    }
+    val fracCols = topNs.map(n => s"top_${n}gram_char_frac") ++
+      dupNs.map(n => s"dup_${n}gram_char_frac")
+    fracCols.foldLeft(out) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), lit(0.0)))
+    }.withColumnRenamed("docId", idCol)
+  }
 }
 
 object Stopwords {

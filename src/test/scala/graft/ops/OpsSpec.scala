@@ -183,6 +183,38 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("repetition metrics match hand-computed Gopher-style fractions") {
+    val docs = Seq(
+      // toks [a,b,a,b,a,b], normalised "a b a b a b" (11 chars):
+      // 2-grams "a b"x3 (mass 9), "b a"x2 (mass 6) -> top2 = 9/11;
+      // 3-grams "a b a"x2 (mass 10), "b a b"x2 (10) -> top3 = 10/11;
+      // 5-grams each occur once -> dup5 = 0
+      (1L, "a b a b a b"),
+      // toks [x,x,x,x] (7 chars): "x x"x3 mass 9 -> capped at 1.0;
+      // 5-gram window empty (4 tokens) -> dup5 = 0
+      (2L, "x x x x"),
+      // no repeated grams at all
+      (3L, "one two three four five six"),
+      // 10 tokens, 5-gram "p q r s t" occurs twice (chars 9, count 2,
+      // mass 18; normalised len 19) -> dup5 = 18/19; dup10 window has
+      // one gram, not duplicated -> 0
+      (4L, "p q r s t p q r s t")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Double]("top_2gram_char_frac") === 9.0 / 11)
+    assert(m(1L).getAs[Double]("top_3gram_char_frac") === 10.0 / 11)
+    assert(m(1L).getAs[Double]("dup_5gram_char_frac") === 0.0)
+    assert(m(2L).getAs[Double]("top_2gram_char_frac") === 1.0)
+    assert(m(2L).getAs[Double]("dup_5gram_char_frac") === 0.0)
+    // no gram repeats -> mass = the LONGEST 2-gram ("three four", 10)
+    assert(m(3L).getAs[Double]("top_2gram_char_frac") ===
+      ("three four".length).toDouble / "one two three four five six".length)
+    assert(m(3L).getAs[Double]("dup_5gram_char_frac") === 0.0)
+    assert(m(4L).getAs[Double]("dup_5gram_char_frac") === 18.0 / 19)
+    assert(m(4L).getAs[Double]("dup_10gram_char_frac") === 0.0)
+  }
+
   test("benchmark decontamination: 13-gram overlap flags, 12-gram does not") {
     // a distinctive 13-token benchmark sentence
     val bench13 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
