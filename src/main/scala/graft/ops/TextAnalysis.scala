@@ -106,9 +106,12 @@ object TextAnalysis {
    *
    * Documents with fewer than n tokens score 0.0 for that n.
    *
-   * 100 TB shape: one explode + (docId, gramHash) aggregation per n —
-   * the gram STRING exists only map-side inside the expression; the
-   * exchange carries (docId, 8-byte hash, len, count). A 64-bit
+   * 100 TB shape: ONE pass over the text — every n's grams explode from
+   * the same scan as n-tagged structs, so the document is read and
+   * tokenised once for all five metrics (not once per n); one
+   * (docId, n, gramHash) aggregation and one per-doc rollup, no joins.
+   * The gram STRING exists only map-side inside the expression; the
+   * exchange carries (docId, n, 8-byte hash, len, count). A 64-bit
    * collision merges two gram groups; the DuckDB oracle counts the gram
    * strings themselves, so a collision at verify scale fails the gate.
    */
@@ -116,35 +119,44 @@ object TextAnalysis {
                  textCol: String = "text",
                  topNs: Seq[Int] = Seq(2, 3, 4),
                  dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val allNs = (topNs ++ dupNs).distinct.sorted
     val base = docs.select(col(idCol).as("docId"),
         tokensCol(col(textCol)).as("toks"))
       .withColumn("totalLen",
         length(concat_ws(" ", col("toks"))).cast("double"))
-    def gramCounts(n: Int) = {
-      val g = concat_ws(" ", slice(col("toks"), col("i") + lit(1), lit(n)))
-      base.filter(size(col("toks")) >= n)
-        .select(col("docId"), col("totalLen"),
-          explode(sequence(lit(0), size(col("toks")) - n)).as("i"),
-          col("toks"))
-        .select(col("docId"), col("totalLen"),
-          xxhash64(g).as("gh"), length(g).as("glen"))
-        .groupBy(col("docId"), col("gh"))
-        .agg(count(lit(1)).as("cnt"), first(col("glen")).as("glen"),
-          first(col("totalLen")).as("totalLen"))
+    // explode cheap (n, startIdx) index structs, compute the gram AFTER
+    // the explode: the per-row array holds two ints per window instead
+    // of built strings, and the hash/length stream through codegen
+    val idxType = "array<struct<n:int,i:int>>"
+    val idxArrays = allNs.map { n =>
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => struct(lit(n).as("n"), i.cast("int").as("i"))))
+        .otherwise(lit(null).cast(idxType))
     }
-    val metrics: Seq[DataFrame] =
-      topNs.map { n =>
-        gramCounts(n).groupBy(col("docId"))
-          .agg(least(max(col("cnt") * col("glen")) / first(col("totalLen")),
-            lit(1.0)).as(s"top_${n}gram_char_frac"))
-      } ++ dupNs.map { n =>
-        gramCounts(n).filter(col("cnt") >= 2).groupBy(col("docId"))
-          .agg(least(sum(col("cnt") * col("glen")) / first(col("totalLen")),
-            lit(1.0)).as(s"dup_${n}gram_char_frac"))
-      }
-    val out = metrics.foldLeft(base.select(col("docId"))) {
-      (acc, m) => acc.join(m, Seq("docId"), "left")
-    }
+    val gram = concat_ws(" ",
+      slice(col("toks"), col("p.i") + lit(1), col("p.n")))
+    val counts = base
+      .select(col("docId"), col("totalLen"), col("toks"),
+        explode(concat(idxArrays.map(a =>
+          coalesce(a, array().cast(idxType))): _*)).as("p"))
+      .select(col("docId"), col("totalLen"), col("p.n").as("n"),
+        xxhash64(gram).as("gh"), length(gram).as("glen"))
+      .groupBy(col("docId"), col("n"), col("gh"))
+      .agg(count(lit(1)).as("cnt"), first(col("glen")).as("glen"),
+        first(col("totalLen")).as("totalLen"))
+    val perN = counts.groupBy(col("docId"), col("n"))
+      .agg(
+        least(max(col("cnt") * col("glen")) / first(col("totalLen")), lit(1.0))
+          .as("topv"),
+        least(coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("glen"))),
+          lit(0L)) / first(col("totalLen")), lit(1.0)).as("dupv"))
+    val aggs = topNs.map(n =>
+        max(when(col("n") === n, col("topv"))).as(s"top_${n}gram_char_frac")) ++
+      dupNs.map(n =>
+        max(when(col("n") === n, col("dupv"))).as(s"dup_${n}gram_char_frac"))
+    val metrics = perN.groupBy(col("docId")).agg(aggs.head, aggs.tail: _*)
+    val out = base.select(col("docId")).join(metrics, Seq("docId"), "left")
     val fracCols = topNs.map(n => s"top_${n}gram_char_frac") ++
       dupNs.map(n => s"dup_${n}gram_char_frac")
     fracCols.foldLeft(out) { (df, c) =>
