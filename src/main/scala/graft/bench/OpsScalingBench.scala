@@ -93,6 +93,24 @@ object OpsScalingBench {
       // — the exhaustive q_neardup_ngram oracle covers small-scale
       // exactness; this row covers behavior at scale)
       "minhash_shingle" -> (s => Dedup.minhashLsh(docs(s), "doc_id", "text", 0.8, gramSize = 5).count()),
+      // benchmark side = every 100th doc (a fixed eval suite's scale
+      // relative to the corpus); the 13-gram rule over the rest
+      "decontaminate" -> { s =>
+        val all = docs(s)
+        Dedup.contaminated(all.filter(col("doc_id") % 100 =!= 0), "doc_id",
+          "text", all.filter(col("doc_id") % 100 === 0), "doc_id", "text").count()
+      },
+      // the filter references ALL FIVE metric columns: a bare count()
+      // lets Catalyst eliminate the unique-key left join and prune the
+      // aggregate entirely (measured: 0.5 s, zero shuffle, nothing
+      // computed) — forcing every column defeats both rewrites while
+      // keeping a deterministic row count
+      "repetition" -> { s =>
+        val r = graft.ops.TextAnalysis.repetition(docs(s))
+        r.filter(col("top_2gram_char_frac") + col("top_3gram_char_frac") +
+          col("top_4gram_char_frac") + col("dup_5gram_char_frac") +
+          col("dup_10gram_char_frac") >= 0).count()
+      },
       "ivf_topk" -> { s =>
         // quantiser trained on a deterministic sample (real IVF practice);
         // probes run over the full corpus inverted file
