@@ -16,7 +16,15 @@ object Bench {
     graft.util.Logs.quietBenignAccumulatorNoise()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // execute the query's OWN physical plan (toRdd), not count():
+      // count() lets Catalyst prune computed columns down to a bare
+      // scan-count for per-row queries (q_quality / q_langid /
+      // q_fingerprint / q_repetition timed a pruned plan in rounds
+      // 2-6a) and can eliminate unique-key joins outright — toRdd
+      // evaluates every output column of every row, which is what
+      // Verify's parquet writes actually pay
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
