@@ -63,7 +63,10 @@ object OpsScalingBench {
     // nVecs) makes SPARK_GRAFT_OPS-filtered single-op A/B reruns skip
     // the multi-minute regeneration entirely
     val marker = Paths.get(dataDir, "gen_meta.txt")
-    val wanted = s"$nDocs,$nVecs"
+    // generator version in the marker: a ScaleGen change (logic or seed)
+    // invalidates the cached corpus instead of silently reusing stale
+    // data under new ledger rows (ADVICE r6 #4)
+    val wanted = s"${ScaleGen.generatorVersion},$nDocs,$nVecs"
     val haveCorpus = Files.exists(marker) &&
       Files.readString(marker).trim == wanted
     if (!haveCorpus) {

@@ -18,6 +18,15 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
  */
 trait Checkpointer {
   def apply(name: String, df: => DataFrame): DataFrame
+  /** True when stages persist across runs (resume contract). Pipelines may
+    * skip barriers for single-consumer stages when the checkpointer is
+    * NOT durable: a truncation barrier on a stage with exactly one
+    * consumer buys no plan-size or recompute reduction — it only costs a
+    * full extra materialisation round (measured on the micro corpus:
+    * ~1-2 s per barrier, pure AQE/scheduling overhead). Durable
+    * checkpointers keep every stage so the on-disk manifest and resume
+    * behavior are unchanged. */
+  def durable: Boolean = false
 }
 
 /** No-op: keep the lazy Catalyst DAG. */
@@ -40,12 +49,21 @@ object CacheCheckpointer extends Checkpointer {
   * Right default for local/interactive runs; ParquetCheckpointer gives the
   * same truncation plus durability/resume for cluster runs. */
 object LocalCheckpointer extends Checkpointer {
-  // eager = false: lineage is truncated at the stage's FIRST action instead
-  // of a dedicated blocking job per stage — the round-1 pipeline ran ~8
-  // serial barrier jobs before any real work, which capped scaling
-  // efficiency (each barrier is a full-cluster sync on mostly-idle tasks).
+  // eager = true (round-7 reversal of the round-1 lazy choice, measured):
+  // under AQE, "lazy" localCheckpoint is not lazy — Dataset.localCheckpoint
+  // calls queryExecution.toRdd, and AdaptiveSparkPlanExec.execute runs the
+  // full adaptive loop, materialising every shuffle stage serially right
+  // there. The old eager=false therefore paid the same serial jobs AND
+  // never truncated the RDD graph (AQE materialises stages via
+  // DAGScheduler.submitMapStage, which skips the rdd.doCheckpoint() hook
+  // that truncation relies on), so task binaries grew cumulatively along
+  // the pipeline (2 -> 13 MiB on the 10-row micro corpus) and cached
+  // partitions were silently recomputed ("Block rdd_N already exists").
+  // Eager adds one result-stage job per barrier but truncates for real:
+  // micro-pipeline def 16.8 s -> 14.8 s, and every downstream stage ships
+  // kilobyte task binaries.
   def apply(name: String, df: => DataFrame): DataFrame =
-    df.localCheckpoint(eager = false)
+    df.localCheckpoint(eager = true)
 }
 
 /** LocalCheckpointer + per-stage wall-time on stderr (bench profiling).
@@ -65,6 +83,7 @@ object TimedLocalCheckpointer extends Checkpointer {
 }
 
 class ParquetCheckpointer(spark: SparkSession, dir: String) extends Checkpointer {
+  override def durable: Boolean = true
   Files.createDirectories(Paths.get(dir))
   private val manifestPath = Paths.get(dir, "manifest.jsonl")
 

@@ -19,6 +19,12 @@ import org.apache.spark.sql.types._
  */
 object ScaleGen {
 
+  /** Generator version token for corpus-reuse markers (OpsScalingBench
+    * caches generated corpora keyed on (version, params); ADVICE r6 #4).
+    * BUMP THIS whenever documents()/embeddings() logic or default seeds
+    * change, or a stale cached corpus is silently reused. */
+  val generatorVersion = "g2"
+
   /** vocab must stay >> nEntities*labelTokens: web-table subject labels
     * are near-unique entity names; a tiny vocabulary creates cross-class
     * token collisions no real corpus has (and additive class weights then

@@ -42,22 +42,34 @@ object Dedup {
       .agg(min(col("docId")).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("content_hash"), col("n_copies"))
 
-  /** Distinct-token explode with per-doc set size (shared helper). */
+  /** Distinct-token explode with per-doc set size (shared helper).
+    * The empty-set filter is the CHEAP equivalent predicate `text RLIKE
+    * '[a-zA-Z0-9]'` (a doc tokenises non-empty iff it has an alnum char)
+    * applied BEFORE the projection: a post-projection filter(nTok > 0)
+    * was pushed down by Catalyst with the whole tokenisation substituted
+    * in, tokenising every row twice (guide §7.2: watch what the filter
+    * drags into the scan). */
   def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("docId"),
+    docs.filter(col(textCol).rlike("[a-zA-Z0-9]"))
+      .select(col(idCol).as("docId"),
         array_distinct(TextAnalysis.tokensCol(col(textCol))).as("toks"))
       .withColumn("nTok", size(col("toks")))
-      .filter(col("nTok") > 0)
 
   /** Distinct character-n-gram sets (the boundary-free analog of
-    * [[tokenSets]]; see TextAnalysis.charShinglesCol). */
+    * [[tokenSets]]). Two-select shape on purpose: the norm text binds to
+    * an attribute so the shingle lambda reads it instead of re-running
+    * the normalisation regex per element (O(len²)/doc — measured as the
+    * whole q_neardup_ngram wall); the empty-set filter is the cheap
+    * equivalent `length(norm) >= n`. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   gramSize: Int): DataFrame =
     docs.select(col(idCol).as("docId"),
-        array_distinct(TextAnalysis.charShinglesCol(col(textCol), gramSize))
+        TextAnalysis.normTextCol(col(textCol)).as("_s"))
+      .filter(length(col("_s")) >= gramSize)
+      .select(col("docId"),
+        array_distinct(TextAnalysis.shinglesOfNormCol(col("_s"), gramSize))
           .as("toks"))
       .withColumn("nTok", size(col("toks")))
-      .filter(col("nTok") > 0)
 
   /**
    * Set-Jaccard near-duplicate pairs (docId1 < docId2, jaccard >=
@@ -83,9 +95,19 @@ object Dedup {
     // jobs and pinning block memory (r5 ADVICE #5); the blocks persist at
     // the first action instead, with the same compute-once effect
     // (measured: bench walls unchanged within noise).
-    val sets = (if (gramSize > 0) shingleSets(docs, idCol, textCol, gramSize)
-      else tokenSets(docs, idCol, textCol)).localCheckpoint(false)
-    val toks = sets.select(col("docId"), col("nTok"), explode(col("toks")).as("tok"))
+    //
+    // 8-BYTE UNITS: the df count and the a×b inverted-index self-join key
+    // on xxhash64(unit) — exactly [[hashedSets]] — so token/shingle TEXT
+    // never enters an exchange (this was the engine's last string-keyed
+    // hot shuffle; the 1M-doc jaccard_capped ledger row anti-scaled on
+    // it). n1/n2 stay the full distinct-STRING set sizes; a 64-bit
+    // collision could merge two units (the string-level DuckDB oracles
+    // q_neardup_jaccard/q_neardup_ngram gate that, same policy as
+    // exactByHash).
+    val sets = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val toks = sets.select(col("docId"), col("nTok"),
+      explode(array_distinct(col("hs"))).as("tok"))
     val kept = toks.join(
       toks.groupBy("tok").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
         .select("tok"), "tok")
@@ -123,10 +145,15 @@ object Dedup {
                              textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("docId"),
         TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n)
+      // short docs yield an empty gram array (explode drops them) instead
+      // of a filter(size(toks) >= n): Catalyst pushed that filter down
+      // with the whole tokenisation substituted in, tokenising every row
+      // twice (same lesson as tokenSets)
       .select(col("docId"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))))
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<bigint>"))))
         .as("gram"))
 
   /**
@@ -163,7 +190,8 @@ object Dedup {
     def lb(n: Column): Column = ceil(n * lit(threshold) - lit(1e-9))
     // hashed sets reused by the df count, the prefix legs and the verify
     // join — same (lazy) materialisation rationale as jaccardPairs
-    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false)
+    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val occ = hashed.select(col("docId"), col("nTok"), explode(col("hs")).as("h"))
     val dfTab = occ.groupBy("h").agg(count(lit(1)).as("df"))
     // deliberately NOT checkpointed: the a/b candidate-join sides rebuild
@@ -282,15 +310,46 @@ object Dedup {
         posexplode(bandCols).as(Seq("band", "bucket")))
   }
 
+  /** Distinct-shared-value count of two SORTED long arrays — exactly
+    * `size(array_intersect(a, b))` (a duplicated value counts once), as
+    * a merge walk instead of ArrayIntersect's per-row hash set + result
+    * array: allocation-free and O(|a|+|b|). The verify step runs this
+    * once per CANDIDATE PAIR (2.7M pairs on the sf0.1 bench corpus), so
+    * the per-pair constant is the operator's hot loop (guide §1.2 step
+    * 2). Spec-pinned equal to array_intersect in OpsSpec. */
+  private[graft] def sortedShared(a: Seq[Long], b: Seq[Long]): Int = {
+    val la = a.length
+    val lb = b.length
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < la && j < lb) {
+      val vi = a(i)
+      val vj = b(j)
+      if (vi < vj) i += 1
+      else if (vi > vj) j += 1
+      else {
+        c += 1
+        while (i < la && a(i) == vi) i += 1
+        while (j < lb && b(j) == vi) j += 1
+      }
+    }
+    c
+  }
+
+  private[graft] val sortedSharedUdf =
+    udf((a: Seq[Long], b: Seq[Long]) => sortedShared(a, b))
+
   /** Exact-Jaccard verification of candidate (id1, id2) pairs against the
     * hashed sets (64-bit collisions are negligible at any realistic
-    * vocabulary) — shared by the LSH and prefix-filter paths. */
+    * vocabulary) — shared by the LSH and prefix-filter paths. `hs` is
+    * sorted (hashedSets), so shared = [[sortedShared]] merge walk. */
   private def verifyJaccard(cand: DataFrame, hashed: DataFrame,
                             threshold: Double): DataFrame =
     cand
       .join(hashed.select(col("docId").as("id1"), col("hs").as("t1"), col("nTok").as("n1")), "id1")
       .join(hashed.select(col("docId").as("id2"), col("hs").as("t2"), col("nTok").as("n2")), "id2")
-      .withColumn("shared", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("shared", sortedSharedUdf(col("t1"), col("t2")))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("n1") + col("n2") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -305,7 +364,8 @@ object Dedup {
     // config and would leak cached blocks). Checkpoint blocks are
     // reclaimed by the ContextCleaner once the returned frame is dropped;
     // eager = false defers the job to the first action (r5 ADVICE #5).
-    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false)
+    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // the self-join runs on NARROW (docId, band, bucket) rows — hs stays
     // out of the bucket shuffle
     val banded = capBuckets(bandedRows(hashed, numHashes, bands)

@@ -75,8 +75,12 @@ object SimSearch {
   }
 
   /** Sign-bit LSH bucket id for one projection table: bits = sign of dot
-    * with `nBits` precomputed pseudo-random hyperplane literals. */
-  private def signBucket(vec: Column, table: Int, nBits: Int, dim: Int): Column = {
+    * with `nBits` precomputed pseudo-random hyperplane literals.
+    * EXPRESSION form — kept as the semantic definition for the OpsSpec
+    * parity gate on [[bucketsKernel]]; the hot paths use the kernel
+    * (the tables × nBits aggregate/zip_with HOF trees are
+    * CodegenFallback and dominated both Catalyst planning and eval). */
+  private[ops] def signBucketExpr(vec: Column, table: Int, nBits: Int, dim: Int): Column = {
     val bits: Seq[Column] = (0 until nBits).map { b =>
       val plane = Array.tabulate(dim)(i => planeComponent(table, b, i))
       val proj = aggregate(zip_with(vec, typedLit(plane), (x, h) => x * h),
@@ -85,6 +89,62 @@ object SimSearch {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** All `tables` sign-bucket ids of one vector in a single pass: per
+    * (table, bit), proj = i-ascending dot with the plane — the SAME fold
+    * order as [[signBucketExpr]]'s aggregate(zip_with(...)), so every
+    * double (and therefore every bucket id) is bit-identical
+    * (OpsSpec-pinned). A vector whose length differs from `dim` gets
+    * bucket 0 in every table, exactly like the expression's
+    * null-propagating zip_with. ~100x smaller expression tree than the
+    * tables × nBits HOF columns it replaces. */
+  private[ops] def bucketsKernel(vec: Seq[Double], planes: Array[Array[Double]],
+                                 tables: Int, nBits: Int, dim: Int): Array[Long] = {
+    if (vec == null || vec.length != dim) return new Array[Long](tables)
+    val out = new Array[Long](tables)
+    val v = vec.toArray
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        val p = planes(t * nBits + b)
+        var acc = 0.0d
+        var i = 0
+        while (i < dim) { acc += v(i) * p(i); i += 1 }
+        if (acc >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  private def planeRows(tables: Int, nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(tables * nBits) { tb =>
+      Array.tabulate(dim)(i => planeComponent(tb / nBits, tb % nBits, i))
+    }
+
+  /** Column of all `tables` bucket ids (index = table) for a vector
+    * column. The cast to array<double> mirrors the expression path's
+    * per-element float→double promotion (exact, bit-identical). */
+  private def allBucketsCol(vec: Column, tables: Int, nBits: Int, dim: Int): Column = {
+    val planes = planeRows(tables, nBits, dim)
+    val f = udf((v: Seq[Double]) => bucketsKernel(v, planes, tables, nBits, dim))
+    f(vec.cast("array<double>"))
+  }
+
+  // test accessors for the kernel-vs-expression parity specs
+  private[ops] def bucketsColForTest(vec: Column, tables: Int, nBits: Int,
+                                     dim: Int): Column =
+    allBucketsCol(vec, tables, nBits, dim)
+  private[ops] def nearestCellColForTest(vec: Column,
+                                         cents: Array[Array[Double]]): Column =
+    nearestCell(vec, cents)
+  private[ops] def probeCellsColForTest(vec: Column, cents: Array[Array[Double]],
+                                        nProbe: Int): Column =
+    probeCells(vec, cents, nProbe)
 
   /** Drop buckets above `cap` members (same rationale as Dedup.capBuckets:
     * a degenerate bucket turns the bucket join quadratic). */
@@ -95,24 +155,32 @@ object SimSearch {
     df.join(sizes, keys)
   }
 
-  /** ANN via multi-table sign-bit LSH + exact re-rank. */
+  /** ANN via multi-table sign-bit LSH + exact re-rank. The bucket join
+    * and the candidate distinct run on (id, tab, bucket) ROWS ONLY —
+    * vectors re-attach to the distinct survivors for the exact re-rank
+    * (guide §8: decide with small rows, move payloads once; the previous
+    * shape shuffled qv/cv through the bucket join AND ran distinct over
+    * the vector payload columns). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 8, nBits: Int = 12,
               dim: Int = 64, bucketCap: Int = 100000): DataFrame = {
-    def bucketed(df: DataFrame, side: String): DataFrame = {
-      val base = df.select(col(idCol).as(s"${side}id"), col(vecCol).as(s"${side}v"))
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("tab"), signBucket(col(s"${side}v"), t, nBits, dim).as("bucket"))): _*)
-      base.select(col(s"${side}id"), col(s"${side}v"), explode(buckets).as("tb"))
-        .select(col(s"${side}id"), col(s"${side}v"),
-          col("tb.tab").as("tab"), col("tb.bucket").as("bucket"))
-    }
-    val qb = bucketed(queries, "q")
-    val cb = capBuckets(bucketed(corpus, "c"), Seq("tab", "bucket"), bucketCap)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    def bucketed(df: DataFrame, side: String): DataFrame =
+      df.select(col(s"${side}id"),
+          posexplode(allBucketsCol(col(s"${side}v"), tables, nBits, dim))
+            .as(Seq("tab", "bucket")))
+    val qb = bucketed(q, "q")
+    val cb = capBuckets(bucketed(c, "c"), Seq("tab", "bucket"), bucketCap)
     val cand = qb.join(cb, Seq("tab", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "qv", "cid", "cv").distinct()
-    cand.withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select("qid", "cid").distinct()
+    cand.join(q, "qid").join(c, "cid")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid").asc)))
       .filter(col("rk") <= k)
@@ -164,21 +232,80 @@ object SimSearch {
     if (n == 0.0) v else v.map(_ / n)
   }
 
-  /** Index of the max-dot centroid (struct array_min on (-dot, cell):
-    * lexicographic struct ordering gives argmax with cell-asc tie-break —
-    * codegen'd, no UDF). Centroids ship as array literals. */
-  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+  /** Index of the max-dot centroid: argmin of (-dot, cell) — the same
+    * lexicographic order as the EXPRESSION form below, now a single
+    * kernel (the nCells × dim aggregate/zip_with struct array was a
+    * CodegenFallback tree re-planned per call). The per-cell dot is the
+    * same i-ascending fold, so every double — and every cell choice —
+    * is bit-identical (OpsSpec parity gate). */
+  private[ops] def negDots(v: Seq[Double], cents: Array[Array[Double]]): Array[Double] = {
+    val n = cents.length
+    val out = new Array[Double](n)
+    val a = v.toArray
+    var c = 0
+    while (c < n) {
+      val cc = cents(c)
+      val lim = math.min(a.length, cc.length)
+      var acc = 0.0d
+      var i = 0
+      while (i < lim) { acc += a(i) * cc(i); i += 1 }
+      out(c) = 0.0d - acc
+      c += 1
+    }
+    out
+  }
+
+  private[ops] def nearestCellKernel(v: Seq[Double], cents: Array[Array[Double]]): Int = {
+    val nd = negDots(v, cents)
+    var best = 0
+    var c = 1
+    while (c < nd.length) {
+      if (java.lang.Double.compare(nd(c), nd(best)) < 0) best = c
+      c += 1
+    }
+    best
+  }
+
+  private[ops] def probeCellsKernel(v: Seq[Double], cents: Array[Array[Double]],
+                                    nProbe: Int): Array[Int] = {
+    val nd = negDots(v, cents)
+    val idx = Array.range(0, nd.length)
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      def compare(x: Integer, y: Integer): Int = {
+        val d = java.lang.Double.compare(nd(x), nd(y))
+        if (d != 0) d else Integer.compare(x, y)
+      }
+    })
+    boxed.take(math.min(nProbe, boxed.length)).map(_.intValue())
+  }
+
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+    val f = udf((v: Seq[Double]) => nearestCellKernel(v, cents))
+    f(vec)
+  }
+
+  /** The `nProbe` nearest cells for a query vector, nearest first. */
+  private def probeCells(vec: Column, cents: Array[Array[Double]],
+                         nProbe: Int): Column = {
+    val f = udf((v: Seq[Double]) => probeCellsKernel(v, cents, nProbe))
+    f(vec)
+  }
+
+  /** EXPRESSION forms — the semantic definition the kernels above are
+    * OpsSpec-parity-gated against (array_min / array_sort over
+    * (negDot, cell) structs with aggregate(zip_with) dots). */
+  private[ops] def nearestCellExpr(vec: Column, cents: Array[Array[Double]]): Column =
     array_min(cellScores(vec, cents)).getField("cell")
 
-  private def cellScores(vec: Column, cents: Array[Array[Double]]): Column =
+  private[ops] def cellScores(vec: Column, cents: Array[Array[Double]]): Column =
     array(cents.zipWithIndex.map { case (cArr, i) =>
       struct((lit(0.0d) - dot(vec, typedLit(cArr.toSeq))).as("negDot"),
         lit(i).as("cell"))
     }: _*)
 
-  /** The `nProbe` nearest cells for a query vector, nearest first. */
-  private def probeCells(vec: Column, cents: Array[Array[Double]],
-                         nProbe: Int): Column =
+  private[ops] def probeCellsExpr(vec: Column, cents: Array[Array[Double]],
+                                  nProbe: Int): Column =
     transform(slice(array_sort(cellScores(vec, cents)), 1, nProbe),
       s => s.getField("cell"))
 
@@ -266,17 +393,28 @@ object SimSearch {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, tables: Int = 8, nBits: Int = 12,
                          dim: Int = 64, bucketCap: Int = 100000): DataFrame = {
+    // Lazy localCheckpoint: base feeds the bucket pass and both verify
+    // joins — scan/build once (same convention as Dedup.minhashLsh).
     val base = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    val buckets = capBuckets(base.select(col("vid"), col("vv"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tab"), signBucket(col("vv"), t, nBits, dim).as("bucket"))): _*)).as("tb"))
-      .select(col("vid"), col("vv"), col("tb.tab").as("tab"), col("tb.bucket").as("bucket")),
+      .localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // The bucket self-join and the pair distinct run on NARROW
+    // (vid, tab, bucket) rows — the previous shape carried the vector
+    // payload through the capBuckets join, the self-join AND a distinct
+    // over the payload columns (guide §8: the shuffle only decides which
+    // ids meet; vectors re-attach to the distinct survivors once).
+    val buckets = capBuckets(
+      base.select(col("vid"),
+        posexplode(allBucketsCol(col("vv"), tables, nBits, dim))
+          .as(Seq("tab", "bucket"))),
       Seq("tab", "bucket"), bucketCap)
     val cand = buckets.alias("x").join(buckets.alias("y"), Seq("tab", "bucket"))
       .filter(col("x.vid") < col("y.vid"))
-      .select(col("x.vid").as("id1"), col("x.vv").as("v1"),
-        col("y.vid").as("id2"), col("y.vv").as("v2")).distinct()
-    cand.withColumn("cosine", cosine(col("v1"), col("v2")))
+      .select(col("x.vid").as("id1"), col("y.vid").as("id2")).distinct()
+    cand
+      .join(base.select(col("vid").as("id1"), col("vv").as("v1")), "id1")
+      .join(base.select(col("vid").as("id2"), col("vv").as("v2")), "id2")
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

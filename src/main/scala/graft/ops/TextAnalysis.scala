@@ -17,39 +17,65 @@ object TextAnalysis {
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
       t => t =!= "")
 
+  /** Shingle-normalised text: lowercased, whitespace collapsed.
+    * Explicit whitespace class, NOT \s: Java regex \s matches \x0B but
+    * RE2 (the DuckDB oracle's engine) does not — the mirror must agree. */
+  def normTextCol(text: Column): Column =
+    lower(regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " "))
+
+  /** Shingles of an ALREADY-normalised text column. IMPORTANT: pass a
+    * bound attribute (a column projected in a previous select), not an
+    * expression — the transform lambda re-evaluates its captured subtree
+    * PER ELEMENT, so an inline normalisation here costs O(len) regex work
+    * per shingle = O(len²) per document (measured: the whole
+    * q_neardup_ngram wall). CollapseProject keeps the two-select split
+    * intact because the norm column is non-cheap and multiply-referenced. */
+  def shinglesOfNormCol(s: Column, n: Int): Column =
+    when(length(s) >= n,
+        transform(sequence(lit(0), length(s) - n), i => s.substr(i + 1, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
   /** Character n-gram shingles over the normalised text (lowercased,
     * whitespace collapsed): the boundary-free near-dup unit — catches
     * word-reordering/concatenation dups that token sets miss. Pure
     * codegen (substr over a sequence literal), no UDF; texts shorter
-    * than n yield no shingles. */
-  def charShinglesCol(text: Column, n: Int): Column = {
-    // explicit whitespace class, NOT \s: Java regex \s matches \x0B but
-    // RE2 (the DuckDB oracle's engine) does not — the mirror must agree
-    val s = lower(regexp_replace(text, "[ \\t\\n\\r\\f\\x0B]+", " "))
-    when(length(s) >= n,
-        transform(sequence(lit(0), length(s) - n), i => s.substr(i + 1, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * than n yield no shingles. Single-expression convenience form — the
+    * hot paths (Dedup.shingleSets) bind the norm text first; see
+    * [[shinglesOfNormCol]]. */
+  def charShinglesCol(text: Column, n: Int): Column =
+    shinglesOfNormCol(normTextCol(text), n)
 
   /** Per-document token count / char stats / punctuation + stopword ratios
     * and a composite quality score in [0,1]. */
   /** GPT-2-style pretokeniser: contractions, space-prefixed letter runs,
     * digit runs, punctuation runs (whitespace itself never counts). ASCII
-    * classes + non-capturing groups only — valid and equivalent under
-    * both java.util.regex and RE2, so an external oracle can recount with
-    * the same literal pattern. */
+    * classes + non-capturing groups only — valid under both
+    * java.util.regex and RE2, so an external oracle can recount with the
+    * same literal pattern. KNOWN CAVEAT (ADVICE r6 #2): the `\s` in the
+    * final alternative is NOT engine-identical — Java's \s includes
+    * U+000B (vertical tab), RE2's does not — so a document containing a
+    * VT makes n_tokens_bpe diverge between Spark and a RE2-based oracle.
+    * The synthetic corpora contain no VT (alnum + space + light ASCII
+    * punctuation), and the pattern string is mirrored verbatim in the
+    * frozen q_quality oracle SQL, so the divergence is documented rather
+    * than fixed here; a future oracle-SQL revision should spell the class
+    * out explicitly on both sides. */
   val BpeishPattern: String =
     "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
 
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    val toks = tokensCol(text)
+    // bind the token array ONCE: inline tokensCol references in several
+    // output columns each re-ran the tokenisation regex per row
+    // (withColumn projects don't share non-attribute subtrees)
+    val toks = col("_toks")
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
     val nPunct = (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double")
     val stop = Stopwords.en
     val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
     docs
+      .withColumn("_toks", tokensCol(text))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_tokens_bpe",
         size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long"))
@@ -62,21 +88,32 @@ object TextAnalysis {
           least(nTok / 100.0, lit(1.0)) * 0.5 +
             (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.25 +
             least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.25))
+      .drop("_toks")
   }
 
   /** Stopword-vote language ID: per language, count stopword hits in the
-    * token set; argmax wins (ties -> language code asc); no hits -> 'und'. */
+    * token set; argmax wins (ties -> language code DESC — greatest() on
+    * (hits, lang) structs is lexicographic, so equal hit counts resolve
+    * to the LARGER language code; the DuckDB oracle's fr>=es>=en>=de
+    * cascade implements the same order, and OpsSpec pins a tie fixture);
+    * no hits -> 'und'. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokensCol(col(textCol))
+    // bind tokens and the winning struct ONCE: `best` inlined twice (hits
+    // + lang) over inline tokens evaluated the 4-language vote cascade —
+    // and the tokenisation under it — ~8x per row
+    val toks = col("_toks")
     val votes = Stopwords.byLang.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
         lit(lang).as("lang"))
     }
-    // argmax by (hits desc, lang asc): sort_array ascending on (hits, negLang)
-    // -> take greatest struct; struct ordering is lexicographic on fields.
-    val best = greatest(votes: _*)
-    docs.withColumn("pred_lang",
-      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+    // argmax by (hits desc, lang desc): greatest struct; struct ordering
+    // is lexicographic on (hits, lang).
+    docs.withColumn("_toks", tokensCol(col(textCol)))
+      .withColumn("_best", greatest(votes: _*))
+      .withColumn("pred_lang",
+        when(col("_best").getField("hits") > 0, col("_best").getField("lang"))
+          .otherwise("und"))
+      .drop("_toks", "_best")
   }
 
   /** Rolling-hash fingerprint over the token sequence (chained xxhash64:
@@ -116,6 +153,95 @@ object TextAnalysis {
    * strings themselves, so a collision at verify scale fails the gate.
    */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 topNs: Seq[Int] = Seq(2, 3, 4),
+                 dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    val tNs = topNs.toArray
+    val dNs = dupNs.toArray
+    val kernel = udf((toks: Seq[String]) => repKernel(toks, tNs, dNs))
+    val names = topNs.map(n => s"top_${n}gram_char_frac") ++
+      dupNs.map(n => s"dup_${n}gram_char_frac")
+    docs.select(col(idCol), kernel(tokensCol(col(textCol))).as("_m"))
+      .select(col(idCol) +:
+        names.zipWithIndex.map { case (nm, i) => col("_m")(i).as(nm) }: _*)
+  }
+
+  /** Per-document repetition kernel: one pass over the token array per n
+    * — gram counts in a local hash map keyed by a chained-XXH64 window
+    * key (same collision policy as the expression version's
+    * xxhash64(gram string); the DuckDB oracle recounts gram STRINGS, so
+    * a collision at verify scale fails the gate). All masses accumulate
+    * as exact longs; each metric is ONE long/double division then
+    * min(·, 1.0) — bit-identical to the expression pipeline's
+    * max(cnt*glen)/totalLen fold (spec-pinned in OpsSpec). Replaces a
+    * 3-exchange explode/groupBy cascade: the metrics are a pure function
+    * of the row, so the distributed shape is a bare scan (guide §2.4). */
+  private[ops] def repKernel(toks: Seq[String], topNs: Array[Int],
+                             dupNs: Array[Int]): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val L = toks.length
+    val lens = new Array[Int](L)
+    val tk = new Array[Long](L)
+    var totalChars = 0L
+    var i = 0
+    val it = toks.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      lens(i) = t.length
+      totalChars += t.length
+      val lo = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xFFFFFFFFL
+      val hi = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xFFFFFFFFL
+      tk(i) = (hi << 32) | lo
+      i += 1
+    }
+    val totalLen = if (L > 0) (totalChars + (L - 1)).toDouble else 0.0
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    val topv = new java.util.HashMap[Int, java.lang.Double]()
+    val dupv = new java.util.HashMap[Int, java.lang.Double]()
+    val counts = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    allNs.foreach { n =>
+      if (L >= n && totalLen > 0) {
+        counts.clear()
+        // prefix char sum not needed: glen of window [i, i+n) is
+        // sum(lens) + (n-1); track with a rolling sum
+        var winChars = 0L
+        var j = 0
+        while (j < n) { winChars += lens(j); j += 1 }
+        var s = 0
+        while (s + n <= L) {
+          if (s > 0) winChars += lens(s + n - 1) - lens(s - 1)
+          var h = n.toLong
+          var j2 = s
+          while (j2 < s + n) { h = XXH64.hashLong(tk(j2), h); j2 += 1 }
+          val glen = winChars + (n - 1)
+          val e = counts.get(h)
+          if (e == null) counts.put(h, Array(1L, glen))
+          else e(0) += 1L
+          s += 1
+        }
+        var topMass = 0L
+        var dupMass = 0L
+        val eit = counts.values().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          val mass = e(0) * e(1)
+          if (mass > topMass) topMass = mass
+          if (e(0) >= 2L) dupMass += mass
+        }
+        topv.put(n, math.min(topMass.toDouble / totalLen, 1.0))
+        dupv.put(n, math.min(dupMass.toDouble / totalLen, 1.0))
+      } else {
+        topv.put(n, 0.0)
+        dupv.put(n, 0.0)
+      }
+    }
+    topNs.map(n => topv.get(n).doubleValue()) ++
+      dupNs.map(n => dupv.get(n).doubleValue())
+  }
+
+  /** The original 3-exchange expression implementation — retained as the
+    * semantic definition for the OpsSpec parity gate on [[repKernel]]. */
+  private[ops] def repetitionExpr(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
                  topNs: Seq[Int] = Seq(2, 3, 4),
                  dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {

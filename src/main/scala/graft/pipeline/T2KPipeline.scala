@@ -81,7 +81,11 @@ object T2KPipeline {
     * truncation on a cluster is the ParquetCheckpointer's job. */
   private def cacheInto(pinned: collection.mutable.Buffer[DataFrame])
                        (df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(false)
+    if (df.sparkSession.sparkContext.isLocal)
+      // eager: same rationale as LocalCheckpointer (r7) — AQE materialises
+      // the stages at definition either way; eager additionally truncates
+      // the RDD graph so downstream task binaries stay small
+      df.localCheckpoint(true)
     else {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pinned += p
@@ -190,7 +194,15 @@ object T2KPipeline {
       Schema.blockPairs(webCols, classes, kbPropsByClass, cfg.kurtosisMin))
     var schemaCorrs: DataFrame = null
     var instanceCands: DataFrame = candidates
-    for (it <- 0 until math.max(cfg.numIterations, 1)) {
+    // Barrier elision for SINGLE-CONSUMER stages (non-durable
+    // checkpointers only): the final iteration's instance_cands feeds
+    // exactly one consumer (the 1:1 top-1 window), so a truncation
+    // barrier there buys nothing — its subtree is already bounded by the
+    // schema_corrs/candidates_filtered barriers — and costs one full AQE
+    // materialisation round. Durable (Parquet) runs keep every stage:
+    // resume layout and manifest are unchanged.
+    val nIter = math.max(cfg.numIterations, 1)
+    for (it <- 0 until nIter) {
       val label = Schema.labelBased(pairs, webCols, kb.props)
       val dup = Schema.duplicateBased(instanceCands, cells, kbCells, pairs,
         cfg.dupK, cfg.dupThreshold, cfg.voteThreshold, cfg.dupLoopThreshold,
@@ -199,9 +211,12 @@ object T2KPipeline {
         cfg.combineWeightDup, cfg.combineWeightLabel, cfg.combineThreshold)
       schemaCorrs = if (it == 0) combined else Schema.update(schemaCorrs, combined)
       schemaCorrs = ckpt(s"schema_corrs_it$it", schemaCorrs)
-      instanceCands = ckpt(s"instance_cands_it$it", spread(Identity.resolve(
+      val resolved = spread(Identity.resolve(
         instanceCands, schemaCorrs, keyCols, cells, kbCells, webCols,
-        cfg.keyWeight, cfg.irThreshold)))
+        cfg.keyWeight, cfg.irThreshold))
+      instanceCands =
+        if (it == nIter - 1 && !ckpt.durable) resolved
+        else ckpt(s"instance_cands_it$it", resolved)
     }
 
     mark("loop_def")
@@ -231,10 +246,12 @@ object T2KPipeline {
       .join(broadcast(kb.classes.select("classId", "className")), "classId")
       .select(col("tableName"), col("classId"), col("className"),
         col("classScore").as("score"))
-    // lazy: the caller's write/collect is the action (ParquetCheckpointer
-    // users still get a durable stage via ckpt)
-    val triples = ckpt("triples", Triples.generate(
-      instF, schemaF, cells, kbCells, kb.props, webCols))
+    // single consumer (the caller's write/collect) -> barrier elided for
+    // non-durable checkpointers; ParquetCheckpointer users still get a
+    // durable stage via ckpt
+    val triplesDf = Triples.generate(instF, schemaF, cells, kbCells,
+      kb.props, webCols)
+    val triples = if (ckpt.durable) ckpt("triples", triplesDf) else triplesDf
 
     mark("triples_def")
     T2KResult(instF, schemaF, classCorrs, triples, schemaCorrs, pinned.toSeq)

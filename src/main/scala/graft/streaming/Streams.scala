@@ -151,14 +151,28 @@ object Streams {
         val probe = Dedup.capBuckets(batchBuckets, Seq("band", "bucket"), bucketCap)
           .select(col("docId").as("newId"), col("nTok").as("newN"),
             col("hs").as("newHs"), col("band"), col("bucket"))
-        val vsIndex = probe.join(index, Seq("band", "bucket"))
+        // Cap the INDEX side of the probe join too: the seed index is
+        // capped at build time, but appended batches accumulate UNcapped
+        // (each batch's own append is deliberately uncapped so a later
+        // cap choice still sees every row) — without this, a degenerate
+        // (band, bucket) (boilerplate shingles) grows without bound
+        // across batches and every later probe row in it joins against
+        // all of it: the exact quadratic blow-up capBuckets exists to
+        // prevent, reintroduced cross-batch. One recall semantics for
+        // the whole operator (StreamsSpec pins the bounded-bucket
+        // fixture).
+        val vsIndex = probe.join(
+            Dedup.capBuckets(index, Seq("band", "bucket"), bucketCap),
+            Seq("band", "bucket"))
           // a replayed/backfilled doc already present in the index would
           // otherwise report ITSELF as its own duplicate (id, id, 1.0) —
           // and a downstream "drop doc_id, keep dup_of" dedup would then
           // delete the only copy
           .filter(col("newId") =!= col("docId"))
           .dropDuplicates("newId", "docId")
-          .withColumn("shared", size(array_intersect(col("newHs"), col("hs"))))
+          // both sides are sorted hashed sets (minhashBuckets): the merge
+          // walk is exactly size(array_intersect(...)), allocation-free
+          .withColumn("shared", Dedup.sortedSharedUdf(col("newHs"), col("hs")))
           .withColumn("jaccard", col("shared").cast("double") /
             (col("newN") + col("nTok") - col("shared")).cast("double"))
           .filter(col("jaccard") >= threshold)

@@ -19,9 +19,9 @@ object Logs {
     try {
       import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.Filter.Result
-      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
       import org.apache.logging.log4j.core.config.LoggerConfig
-      import org.apache.logging.log4j.core.filter.RegexFilter
+      import org.apache.logging.log4j.core.filter.AbstractFilter
       val name = "org.apache.spark.scheduler.DAGScheduler"
       val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
       val conf = ctx.getConfiguration
@@ -32,9 +32,30 @@ object Logs {
           conf.addLogger(name, nl)
           nl
       }
-      lc.addFilter(RegexFilter.createFilter(
-        "(?s).*Failed to update accumulator.*", null, java.lang.Boolean.FALSE,
-        Result.DENY, Result.NEUTRAL))
+      // DENY only the GC'd-accumulator signature: message match alone
+      // suppressed EVERY 'Failed to update accumulator' ERROR, including a
+      // genuine lost-metrics failure (ADVICE r6 #1) — the benign case is
+      // identified by its cause chain ("garbage collected accumulator" /
+      // "does not exist", thrown for lazily local-checkpointed frames
+      // whose blocks the ContextCleaner already reclaimed). Anything else
+      // stays NEUTRAL and prints at its normal level.
+      lc.addFilter(new AbstractFilter(Result.DENY, Result.NEUTRAL) {
+        private def benignCause(t: Throwable, depth: Int): Boolean =
+          t != null && depth < 8 && {
+            val m = String.valueOf(t.getMessage)
+            m.contains("garbage collected accumulator") ||
+              m.contains("does not exist") ||
+              benignCause(t.getCause, depth + 1)
+          }
+        override def filter(event: LogEvent): Filter.Result = {
+          val msg = event.getMessage
+          if (msg != null &&
+              String.valueOf(msg.getFormattedMessage)
+                .contains("Failed to update accumulator") &&
+              benignCause(event.getThrown, 0)) Result.DENY
+          else Result.NEUTRAL
+        }
+      })
       ctx.updateLoggers()
     } catch { case _: Throwable => () } // log4j-core absent: keep defaults
 }

@@ -304,6 +304,90 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition kernel is value-identical to the expression pipeline") {
+    // the per-row kernel replaced the 3-exchange explode/groupBy cascade;
+    // every mass is an exact long and each metric one long/double
+    // division, so kernel and expression must agree BIT-for-bit on any
+    // non-hash-colliding corpus (the q_repetition oracle recounts gram
+    // strings, gating collisions independently)
+    val rnd = new scala.util.Random(23)
+    val gen = (0 until 120).map { i =>
+      val toks = Array.fill(5 + rnd.nextInt(40))(s"t${rnd.nextInt(30)}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val corpus = (gen ++ Seq((900L, ""), (901L, "one"),
+      (902L, "a b a b a b"), (903L, "!!! ??? ..."))).toDF("doc_id", "text")
+    val cols = Seq("top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac", "dup_5gram_char_frac", "dup_10gram_char_frac")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        cols.map(c => r.getAs[Double](c))).toMap
+    val kernel = m(TextAnalysis.repetition(corpus))
+    val expr = m(TextAnalysis.repetitionExpr(corpus))
+    assert(kernel.keySet === expr.keySet)
+    kernel.foreach { case (id, vs) =>
+      assert(vs === expr(id), s"doc $id kernel=$vs expr=${expr(id)}") }
+  }
+
+  test("sign-bucket kernel is bit-identical to the expression tree") {
+    val rnd = new scala.util.Random(31)
+    val vecs = ((0 until 60).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))) ++
+      Seq((900L, Array.fill(32)(rnd.nextFloat()))) // wrong dim -> bucket 0
+      ).toDF("vec_id", "embedding")
+    val tables = 4; val nBits = 12; val dim = 64
+    val exprCols = array((0 until tables).map(t =>
+      SimSearch.signBucketExpr(col("embedding"), t, nBits, dim)): _*)
+    val both = vecs.select(col("vec_id"),
+      SimSearch.bucketsColForTest(col("embedding"), tables, nBits, dim).as("k"),
+      exprCols.as("e")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("IVF cell kernels are value-identical to the expression forms") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    val cents = Array.fill(7)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val both = vecs.select(col("vec_id"),
+      SimSearch.nearestCellColForTest(col("v"), cents).as("nk"),
+      SimSearch.nearestCellExpr(col("v"), cents).as("ne"),
+      SimSearch.probeCellsColForTest(col("v"), cents, 3).as("pk"),
+      SimSearch.probeCellsExpr(col("v"), cents, 3).as("pe")).collect()
+    both.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"nearest vec ${r.getLong(0)}")
+      assert(r.getSeq[Int](3) === r.getSeq[Int](4), s"probe vec ${r.getLong(0)}")
+    }
+  }
+
+  test("sortedShared merge walk equals size(array_intersect) on sorted sets") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 200).map { i =>
+      val a = Array.fill(1 + rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Array.fill(1 + rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (i, a.toSeq, b.toSeq)
+    } :+ ((999, Seq.empty[Long], Seq(1L, 2L)))
+    rows.foreach { case (i, a, b) =>
+      assert(Dedup.sortedShared(a, b) === a.toSet.intersect(b.toSet).size, s"row $i")
+    }
+    // duplicated values count once, exactly like array_intersect
+    assert(Dedup.sortedShared(Seq(1L, 1L, 2L, 3L), Seq(1L, 3L, 3L)) === 2)
+  }
+
+  test("langId tie-break: equal hit counts resolve to the larger lang code") {
+    // one stopword from en ("the") and one from fr ("le"): 1-1 tie ->
+    // documented DESC order picks fr over en (matches the DuckDB
+    // oracle's fr>=es>=en>=de cascade)
+    val tie = Seq((1L, "the le zebra"), (2L, "und der la les zebra")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(tie).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) === "fr") // en 1 hit, fr 1 hit -> fr (desc)
+    assert(out(2L) === "fr") // de 2 hits ("und","der"), fr 2 hits -> fr
+  }
+
   test("real image decode: PNG round trip pins the exact block-sum feature") {
     // known 2x2 image; the 16x16 nearest-neighbour resample tiles each
     // pixel over an 8x8 block, so each 4x4 feature cell sums 16 copies of

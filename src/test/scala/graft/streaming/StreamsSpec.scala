@@ -204,6 +204,51 @@ class StreamsSpec extends SparkSpec {
     assert(replayRun(withinBatch = false) === Seq.empty)
   }
 
+  test("bucketCap bounds a degenerate bucket ACROSS batches in cumulative mode") {
+    import graft.ops.Dedup
+    implicit val sc = spark.sqlContext
+    // boilerplate text delivered again and again across batches: its
+    // (band, bucket) rows accumulate in the cumulative index, and without
+    // an index-side cap every later copy would join against ALL of them
+    // (quadratic cross-batch blow-up). With bucketCap set, the unioned
+    // index is capped at probe time: once the bucket exceeds the cap, new
+    // copies stop matching it — while genuine near-dups in healthy
+    // buckets keep reporting.
+    val boiler = "boilerplate navigation header repeated on every single page"
+    val novel = "a unique article about distributed query planning internals"
+    val nearOfNovel = novel + " today"
+    val index = Dedup.minhashBuckets(Seq(
+      (1L, "completely unrelated seed text about database systems design")
+    ).toDF("doc_id", "text"), "doc_id", "text").persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft-capidx").toString
+    val in = MemoryStream[(Long, String)]
+    val got = collection.mutable.Set[(Long, Long)]()
+    val batches = collection.mutable.Set[Long]()
+    val q = Streams.dedupDocs(in.toDF().toDF("doc_id", "text"), index, 0.5,
+        bucketCap = 2, cumulativeIndexDir = Some(dir)) { (df, id) =>
+      got ++= df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+      batches += id
+    }
+    in.addData((400L, boiler), (401L, boiler), (500L, novel))
+    q.processAllAvailable()
+    in.addData((402L, boiler), (403L, boiler))
+    q.processAllAvailable()
+    // by now the boiler bucket holds 4 appended rows > cap: the batch-3
+    // copy must NOT join against them, but the healthy cross-batch pair
+    // (501, 500) must still report
+    in.addData((404L, boiler), (501L, nearOfNovel))
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.size >= 3)
+    val batch3From404 = got.filter(_._1 == 404L)
+    assert(batch3From404.isEmpty,
+      s"degenerate bucket must be capped cross-batch, got $batch3From404")
+    assert(got.contains((501L, 500L)), s"healthy cross-batch pair lost: $got")
+    // batch-1/2 behavior below the cap is unchanged: within-batch pairs
+    // and cross-batch matches while the bucket still fit
+    assert(got.contains((401L, 400L)) && got.contains((403L, 402L)))
+  }
+
   test("a data-less batch_id append does not wedge the cumulative-index read") {
     import graft.ops.Dedup
     implicit val sc = spark.sqlContext
