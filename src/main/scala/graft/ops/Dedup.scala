@@ -42,6 +42,36 @@ object Dedup {
       .agg(min(col("docId")).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("content_hash"), col("n_copies"))
 
+  /** Checkpoint the hashed-set side with SCALE-ADAPTIVE partitioning and
+    * DISK-ONLY storage.
+    *
+    * Partitioning: repartition by docId WITHOUT a fixed partition count,
+    * so AQE sizes the post-shuffle partitions from the data (a handful
+    * of rows collapse to one partition; a 10⁶-doc corpus spreads into
+    * advisory-sized blocks) — without it the checkpoint inherits the
+    * SCAN's file-packed splits (~13 partitions of ~400 MB on the 1M-doc
+    * ledger corpus) and the kernel-heavy set-building stage is capped at
+    * the input's split count.
+    *
+    * Storage: DISK_ONLY, deliberately. The shingle-mode hashed sets of a
+    * 10⁶-doc corpus are larger than the whole unified pool (≈4 KB/doc
+    * deserialized vs a 4.6 GB pool on the 8 GB bench JVM), and BOTH
+    * memory-backed levels fail there, each in its own way:
+    * MEMORY_AND_DISK_SER re-buffers whole disk-spilled blocks on-heap at
+    * read time (BlockManager.maybeCacheDiskBytesInMemory → OOM), and
+    * deserialized MEMORY_AND_DISK fills the pool with blocks pinned by
+    * 32 concurrent readers' block locks until execution starves
+    * ("UNABLE_TO_ACQUIRE_MEMORY ... got 0" with 4.6 GB held by storage
+    * — both observed on the 1M-doc ledger this round). DISK_ONLY takes
+    * storage memory out of the equation: writes stream to local disk
+    * once, re-reads stream through the OS page cache (which IS the right
+    * cache for data bigger than the heap), and execution keeps the whole
+    * pool. At bench scale the sets are a few MB and the round trip is
+    * page-cache-warm — measured within noise of the memory levels. */
+  private def checkpointSets(sets: DataFrame): DataFrame =
+    sets.repartition(col("docId")).localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   /** Distinct-token explode with per-doc set size (shared helper).
     * The empty-set filter is the CHEAP equivalent predicate `text RLIKE
     * '[a-zA-Z0-9]'` (a doc tokenises non-empty iff it has an alnum char)
@@ -88,13 +118,12 @@ object Dedup {
     // two df-count legs), and Catalyst additionally substitutes it into
     // the pushed-down size()>0 scan filter — without a materialisation
     // barrier the O(set²) array_distinct runs ~16× per doc (measured
-    // 13 s → 4.2 s on the 500-doc 5-gram bench slice; an extra hash
-    // repartition before the checkpoint was measured neutral-to-worse,
-    // so the scan partitioning is kept as-is). eager = false: merely
+    // 13 s → 4.2 s on the 500-doc 5-gram bench slice). eager = false: merely
     // BUILDING the frame (explain/plan inspection) was triggering full
     // jobs and pinning block memory (r5 ADVICE #5); the blocks persist at
     // the first action instead, with the same compute-once effect
-    // (measured: bench walls unchanged within noise).
+    // (measured: bench walls unchanged within noise). Partitioning and
+    // storage level: see [[checkpointSets]].
     //
     // 8-BYTE UNITS: the df count and the a×b inverted-index self-join key
     // on xxhash64(unit) — exactly [[hashedSets]] — so token/shingle TEXT
@@ -104,8 +133,7 @@ object Dedup {
     // collision could merge two units (the string-level DuckDB oracles
     // q_neardup_jaccard/q_neardup_ngram gate that, same policy as
     // exactByHash).
-    val sets = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sets = checkpointSets(hashedSets(docs, idCol, textCol, gramSize))
     val toks = sets.select(col("docId"), col("nTok"),
       explode(array_distinct(col("hs"))).as("tok"))
     val kept = toks.join(
@@ -190,8 +218,7 @@ object Dedup {
     def lb(n: Column): Column = ceil(n * lit(threshold) - lit(1e-9))
     // hashed sets reused by the df count, the prefix legs and the verify
     // join — same (lazy) materialisation rationale as jaccardPairs
-    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hashed = checkpointSets(hashedSets(docs, idCol, textCol, gramSize))
     val occ = hashed.select(col("docId"), col("nTok"), explode(col("hs")).as("h"))
     val dfTab = occ.groupBy("h").agg(count(lit(1)).as("df"))
     // deliberately NOT checkpointed: the a/b candidate-join sides rebuild
@@ -337,8 +364,14 @@ object Dedup {
     c
   }
 
+  // Array[Long] signature on purpose: Spark extracts array<bigint> UDF
+  // inputs as primitive long[] (toLongArray), so no per-element boxing
+  // crosses the UDF boundary — at 1M docs the verify step processes
+  // ~10^5-10^6 pairs x ~10^2-element sets per task
   private[graft] val sortedSharedUdf =
-    udf((a: Seq[Long], b: Seq[Long]) => sortedShared(a, b))
+    udf((a: Array[Long], b: Array[Long]) =>
+      sortedShared(scala.collection.immutable.ArraySeq.unsafeWrapArray(a),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)))
 
   /** Exact-Jaccard verification of candidate (id1, id2) pairs against the
     * hashed sets (64-bit collisions are negligible at any realistic
@@ -364,8 +397,7 @@ object Dedup {
     // config and would leak cached blocks). Checkpoint blocks are
     // reclaimed by the ContextCleaner once the returned frame is dropped;
     // eager = false defers the job to the first action (r5 ADVICE #5).
-    val hashed = hashedSets(docs, idCol, textCol, gramSize).localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hashed = checkpointSets(hashedSets(docs, idCol, textCol, gramSize))
     // the self-join runs on NARROW (docId, band, bucket) rows — hs stays
     // out of the bucket shuffle
     val banded = capBuckets(bandedRows(hashed, numHashes, bands)

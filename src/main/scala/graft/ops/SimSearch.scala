@@ -165,11 +165,9 @@ object SimSearch {
               vecCol: String, k: Int, tables: Int = 8, nBits: Int = 12,
               dim: Int = 64, bucketCap: Int = 100000): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false)
     def bucketed(df: DataFrame, side: String): DataFrame =
       df.select(col(s"${side}id"),
           posexplode(allBucketsCol(col(s"${side}v"), tables, nBits, dim))
@@ -396,8 +394,7 @@ object SimSearch {
     // Lazy localCheckpoint: base feeds the bucket pass and both verify
     // joins — scan/build once (same convention as Dedup.minhashLsh).
     val base = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-      .localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false)
     // The bucket self-join and the pair distinct run on NARROW
     // (vid, tab, bucket) rows — the previous shape carried the vector
     // payload through the capBuckets join, the self-join AND a distinct

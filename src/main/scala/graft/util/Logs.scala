@@ -45,6 +45,7 @@ object Logs {
             val m = String.valueOf(t.getMessage)
             m.contains("garbage collected accumulator") ||
               m.contains("does not exist") ||
+              m.contains("non-existent accumulator") ||
               benignCause(t.getCause, depth + 1)
           }
         override def filter(event: LogEvent): Filter.Result = {
