@@ -216,6 +216,53 @@ object Streams {
       }
       .start()
 
+  /**
+   * Compact a [[dedupDocs]] cumulative-index dir: fold all existing
+   * `batch_id=<k>` partition dirs (including previous compactions) into
+   * ONE, so the per-batch file listing and the union read stay bounded —
+   * after 10⁵ micro-batches the listing itself becomes the probe's
+   * bottleneck (one dir + one footer per batch). Call it between batches
+   * (or from a maintenance schedule), exactly like any streaming-table
+   * sink's compaction.
+   *
+   * Layout/safety contract:
+   *  - compacted rows land in `batch_id=<negative>` (streaming batchIds
+   *    are non-negative, successive compactions count downwards), written
+   *    clustered by (band, bucket) — the seed index's layout — BEFORE the
+   *    source dirs are deleted. A reader (or a crash) in the window
+   *    between write and delete sees duplicate index rows only, which
+   *    [[dedupDocs]] already collapses (`dropDuplicates(newId, docId)`),
+   *    so dup output is identical before, during and after compaction
+   *    (StreamsSpec pins before/after equality).
+   *  - a batch dir appended CONCURRENTLY by the running query is not in
+   *    the source list and is left untouched.
+   *  - data-less dirs (crashed first append) are swept too.
+   *
+   * Returns the number of batch_id dirs folded (0 = nothing to do).
+   */
+  def compactDedupIndex(spark: SparkSession, dir: String): Int = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    val parts = fs.listStatus(base).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id=")).map(_.getPath)
+    if (parts.length <= 1) return 0
+    def batchOf(p: org.apache.hadoop.fs.Path): Long =
+      try p.getName.stripPrefix("batch_id=").toLong
+      catch { case _: NumberFormatException => 0L }
+    val nextTag = math.min(parts.map(batchOf).min, 0L) - 1L
+    val withData = parts.filter(p => fs.listStatus(p).exists(f =>
+      f.getPath.getName.endsWith(".parquet")))
+    if (withData.nonEmpty)
+      // read the SOURCE dirs by explicit path (parquet is self-describing;
+      // no partition discovery, so mixed/empty dirs can't wedge inference)
+      spark.read.parquet(withData.map(_.toString): _*)
+        .repartition(col("band"), col("bucket"))
+        .write.mode("errorifexists").parquet(s"$dir/batch_id=$nextTag")
+    parts.foreach(p => fs.delete(p, true))
+    parts.length
+  }
+
   /** True iff `dir` exists and holds at least one non-hidden entry —
     * guards the first batch's read of an empty cumulative-index dir. */
   private def hasParquet(spark: SparkSession, dir: String): Boolean = {

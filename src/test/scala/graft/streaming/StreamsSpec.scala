@@ -249,6 +249,47 @@ class StreamsSpec extends SparkSpec {
     assert(got.contains((401L, 400L)) && got.contains((403L, 402L)))
   }
 
+  test("compacting the cumulative index preserves dup output and bounds the dir count") {
+    import graft.ops.Dedup
+    implicit val sc = spark.sqlContext
+    val index = Dedup.minhashBuckets(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text"), "doc_id", "text").persist()
+    val novel = "a singular write up about adaptive query execution internals"
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    def runBatches(batches: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
+      val in = MemoryStream[(Long, String)]
+      val got = collection.mutable.Set[(Long, Long)]()
+      val q = Streams.dedupDocs(in.toDF().toDF("doc_id", "text"), index, 0.5,
+          cumulativeIndexDir = Some(dir)) { (df, _) =>
+        got ++= df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+      }
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      got.toSet
+    }
+    // three appended batches; also plant a data-less dir (crashed append)
+    val first = runBatches(Seq(
+      Seq((600L, novel)),
+      Seq((601L, "other page one entirely distinct")),
+      Seq((602L, "other page two also quite distinct"))))
+    assert(first.isEmpty)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(dir, "batch_id=99"))
+    def dirCount = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirCount === 4)
+    val folded = Streams.compactDedupIndex(spark, dir)
+    assert(folded === 4)
+    assert(dirCount === 1, "all batch dirs folded into one")
+    // idempotent: nothing left to fold
+    assert(Streams.compactDedupIndex(spark, dir) === 0)
+    // the cross-batch leg still works through the compacted rows: a
+    // near-copy of the batch-1 novel doc is reported exactly as it would
+    // have been against the uncompacted dirs
+    val after = runBatches(Seq(Seq((610L, novel + " today"))))
+    assert(after === Set((610L, 600L)), s"got $after")
+  }
+
   test("a data-less batch_id append does not wedge the cumulative-index read") {
     import graft.ops.Dedup
     implicit val sc = spark.sqlContext
